@@ -1,0 +1,212 @@
+"""Triangle setup: vertex transform -> near clip -> screen-space edge setup.
+
+This is the geometry front-end of the rasterizer (the analog of the
+per-triangle prologue of rasterize_mesh, rasterizer.hpp:206-328), restructured
+as batched SoA array transforms:
+
+- vertex transform is one big (V,4) x (4,4) matmul per scene batch (MXU),
+- near clipping is the static 2-slot expansion from raster/clip.py,
+- per-triangle "setup" precomputes the affine barycentric coefficients
+  bc_i(x, y) = A_i x + B_i y + C_i, the per-corner 1/w, and the screen bbox,
+  so the rasterization kernel does pure FMA work per (triangle, pixel).
+
+Backface culling replicates RasterizerCullMode/front_face_ccw semantics
+(rasterizer.hpp:26, :275-281): screen-space signed area in the bottom-left
+canvas basis decides facing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+CULL_NONE = 0
+CULL_BACK = 1
+CULL_FRONT = 2
+
+DEPTH_VIEWZ = 0   # z01 = (1/denom - zn) / (zf - zn)   (perspective, rasterizer.hpp:349-360)
+DEPTH_NDC01 = 1   # z01 = z_ndc * 0.5 + 0.5            (ortho / shadow passes)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["coef", "iw", "ziw", "bbox", "valid", "obj_id", "wp", "nw", "uv"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class TriSetup:
+    """Post-clip per-triangle SoA raster setup (N = 2 * input triangles)."""
+
+    coef: jnp.ndarray    # (N, 9) f32: A0,B0,C0,A1,B1,C1,A2,B2,C2
+    iw: jnp.ndarray      # (N, 3) f32: per-corner 1/w_clip
+    ziw: jnp.ndarray     # (N, 3) f32: per-corner z_ndc * (1/w)
+    bbox: jnp.ndarray    # (N, 4) i32: x0, y0, x1, y1 (inclusive, clamped)
+    valid: jnp.ndarray   # (N,) bool
+    obj_id: jnp.ndarray  # (N,) i32 object index (for material lookup)
+    wp: jnp.ndarray      # (N, 3, 3) f32 per-corner world position
+    nw: jnp.ndarray      # (N, 3, 3) f32 per-corner world normal
+    uv: jnp.ndarray      # (N, 3, 2) f32 per-corner uv
+
+    @property
+    def count(self) -> int:
+        return int(self.coef.shape[0])
+
+
+def vertex_stage(positions, normals, uvs, vtx_obj, models, normal_mats, viewproj):
+    """Batched vertex shader (make_default_vertex_out semantics,
+    builtin_shaders.hpp:92-107).
+
+    positions/normals: (V, 3); uvs: (V, 2); vtx_obj: (V,) i32;
+    models: (O, 4, 4); normal_mats: (O, 3, 3); viewproj: (4, 4).
+    Returns (world (V,3), clip (V,4), normal_ws (V,3)).
+    """
+    m = models[vtx_obj]            # (V, 4, 4)
+    nm = normal_mats[vtx_obj]      # (V, 3, 3)
+    hom = jnp.concatenate(
+        [positions, jnp.ones((positions.shape[0], 1), positions.dtype)], axis=-1
+    )
+    world_h = jnp.einsum("vij,vj->vi", m, hom)
+    world = world_h[:, :3]
+    clip = world_h @ viewproj.T
+    n_ws = jnp.einsum("vij,vj->vi", nm, normals)
+    n_len = jnp.linalg.norm(n_ws, axis=-1, keepdims=True)
+    n_ws = n_ws / jnp.maximum(n_len, 1e-12)
+    return world, clip, n_ws
+
+
+def assemble_and_clip(clip_v, world_v, normal_v, uv_v, indices, tri_obj):
+    """Gather triangle corners and near-clip with static expansion.
+
+    Returns flattened post-clip arrays of length N = 2 * T:
+    (clip (N,3,4), attrs dict of (N,3,A), valid (N,), obj_id (N,)).
+    """
+    from lsr_tpu.raster.clip import clip_triangles_near
+
+    tri_clip = clip_v[indices]        # (T, 3, 4)
+    attrs = {
+        "wp": world_v[indices],
+        "normal": normal_v[indices],
+        "uv": uv_v[indices],
+    }
+    clip2, attrs2, valid2 = clip_triangles_near(attrs, tri_clip)
+    t = indices.shape[0]
+    flat = lambda x: x.reshape((2 * t,) + x.shape[2:])  # noqa: E731
+    obj2 = jnp.broadcast_to(tri_obj[:, None], (t, 2)).reshape(-1)
+    return (
+        flat(clip2),
+        {k: flat(v) for k, v in attrs2.items()},
+        valid2.reshape(-1),
+        obj2,
+    )
+
+
+def build_setup(
+    clip_tris,
+    attrs,
+    valid,
+    obj_id,
+    width: int,
+    height: int,
+    cull_mode: int = CULL_BACK,
+    front_face_ccw: bool = True,
+) -> TriSetup:
+    """Compute screen-space raster setup for post-clip triangles.
+
+    clip_tris: (N, 3, 4); attrs: dict wp/normal/uv (N, 3, A); valid: (N,).
+    """
+    w_clip = clip_tris[..., 3]  # (N, 3)
+    w_ok = jnp.all(w_clip > 1e-8, axis=-1)
+    iw = jnp.where(w_clip > 1e-8, 1.0 / jnp.maximum(w_clip, 1e-8), 0.0)
+    ndc = clip_tris[..., :3] * iw[..., None]  # (N, 3, 3)
+    finite = jnp.all(jnp.isfinite(ndc), axis=(1, 2))
+
+    # Screen mapping (rasterizer.hpp:267-269): bottom-left origin canvas.
+    sx = (ndc[..., 0] * 0.5 + 0.5) * (width - 1)   # (N, 3)
+    sy = (ndc[..., 1] * 0.5 + 0.5) * (height - 1)
+
+    # Facing / degeneracy (rasterizer.hpp:271-281).
+    e0x, e0y = sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]
+    e1x, e1y = sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]
+    area2 = e0x * e1y - e0y * e1x
+    nondegenerate = jnp.abs(area2) >= 1e-10
+    tri_ccw = area2 > 0.0
+    is_front = tri_ccw == front_face_ccw
+    if cull_mode == CULL_BACK:
+        face_ok = is_front
+    elif cull_mode == CULL_FRONT:
+        face_ok = ~is_front
+    else:
+        face_ok = jnp.ones_like(is_front)
+
+    # Affine barycentric coefficients: bc_i = cross(s_k - s_j, p - s_j)/area2
+    # for (i,j,k) cyclic.  bc_i(s_i) == 1.
+    inv_area = jnp.where(nondegenerate, 1.0 / jnp.where(nondegenerate, area2, 1.0), 0.0)
+
+    def edge_coef(j, k):
+        a = (sy[:, j] - sy[:, k]) * inv_area
+        b = (sx[:, k] - sx[:, j]) * inv_area
+        c = (sx[:, j] * sy[:, k] - sx[:, k] * sy[:, j]) * inv_area
+        return a, b, c
+
+    a0, b0, c0 = edge_coef(1, 2)
+    a1, b1, c1 = edge_coef(2, 0)
+    a2, b2, c2 = edge_coef(0, 1)
+    coef = jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2], axis=-1)
+
+    # Screen bbox (rasterizer.hpp:283-292).
+    x0 = jnp.clip(jnp.floor(jnp.min(sx, axis=1)), 0, width - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(jnp.max(sx, axis=1)), 0, width - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(jnp.min(sy, axis=1)), 0, height - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(jnp.max(sy, axis=1)), 0, height - 1).astype(jnp.int32)
+    # Reject triangles entirely off-screen.
+    on_screen = (
+        (jnp.max(sx, axis=1) >= 0.0)
+        & (jnp.min(sx, axis=1) <= width - 1)
+        & (jnp.max(sy, axis=1) >= 0.0)
+        & (jnp.min(sy, axis=1) <= height - 1)
+    )
+    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    ok = valid & w_ok & finite & nondegenerate & face_ok & on_screen
+
+    return TriSetup(
+        coef=coef,
+        iw=iw,
+        ziw=ndc[..., 2] * iw,
+        bbox=bbox,
+        valid=ok,
+        obj_id=obj_id.astype(jnp.int32),
+        wp=attrs["wp"],
+        nw=attrs["normal"],
+        uv=attrs["uv"],
+    )
+
+
+def scene_setup(
+    positions,
+    normals,
+    uvs,
+    indices,
+    vtx_obj,
+    tri_obj,
+    models,
+    normal_mats,
+    viewproj,
+    width: int,
+    height: int,
+    cull_mode: int = CULL_BACK,
+    front_face_ccw: bool = True,
+) -> TriSetup:
+    """Full geometry front-end: vertex stage + clip + setup, jit-friendly."""
+    world, clip_v, n_ws = vertex_stage(
+        positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
+    )
+    clip_t, attrs, valid, obj2 = assemble_and_clip(
+        clip_v, world, n_ws, uvs, indices, tri_obj
+    )
+    return build_setup(
+        clip_t, attrs, valid, obj2, width, height, cull_mode, front_face_ccw
+    )
