@@ -124,8 +124,9 @@ def make_plane(size: float = 1.0, y: float = 0.0) -> MeshData:
     )
     nrm = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (4, 1))
     uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
-    # CCW when seen from +Y in the LH convention.
-    idx = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    # Front-facing (screen-space CCW) when viewed from above (+Y side)
+    # through the LH camera convention.
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     return MeshData(pos, nrm, uv, idx)
 
 

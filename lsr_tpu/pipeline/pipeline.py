@@ -1,0 +1,99 @@
+"""PluggablePipeline: pass container + plan + execute.
+
+The analog of PluggablePipeline (pluggable_pipeline.hpp:743-1000): holds the
+pass list, lazily rebuilds the frame graph + execution plan when the pass set
+changes, exposes graph/plan reports, and executes through the runtime
+executor.  Temporal state reset hooks mirror reset_history/on_scene_reset
+(pluggable_pipeline.hpp:960-978).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from lsr_tpu.pipeline.executor import RenderContext, XlaBackend, execute_plan
+from lsr_tpu.pipeline.planner import BackendCaps, build_execution_plan
+from lsr_tpu.pipeline.render_pass import RenderPass
+
+
+class PluggablePipeline:
+    def __init__(self, backends: Optional[dict] = None,
+                 default_backend: str = "xla",
+                 preexisting_semantics=("scene_depth",)):
+        self._passes: List[RenderPass] = []
+        self._plan = None
+        self._dirty = True
+        self._default_backend = default_backend
+        self._preexisting = tuple(preexisting_semantics)
+        self.backend_caps = backends or {
+            default_backend: BackendCaps(default_backend)
+        }
+        self.backend_impls = {default_backend: XlaBackend()}
+
+    # -- pass management ----------------------------------------------------
+    def add_pass(self, p: RenderPass):
+        self._passes.append(p)
+        self._dirty = True
+        return self
+
+    def find_pass(self, pass_id: str) -> Optional[RenderPass]:
+        for p in self._passes:
+            if p.pass_id == pass_id:
+                return p
+        return None
+
+    def set_enabled(self, pass_id: str, enabled: bool) -> bool:
+        p = self.find_pass(pass_id)
+        if p is None:
+            return False
+        if p.enabled != enabled:
+            p.enabled = enabled
+            self._dirty = True
+        return True
+
+    def clear(self):
+        self._passes.clear()
+        self._dirty = True
+
+    @property
+    def passes(self):
+        return tuple(self._passes)
+
+    # -- configuration from recipes ------------------------------------------
+    def configure_from_recipe(self, recipe, registry, caps=None,
+                              permissive: bool = False, **factory_kwargs):
+        """Compile a recipe and instantiate its pass chain via the registry."""
+        from lsr_tpu.pipeline.recipe import compile_recipe
+
+        report = compile_recipe(recipe, registry, caps, permissive=permissive)
+        if report.ok:
+            self.clear()
+            for pid in report.passes:
+                self.add_pass(registry.create(pid, **factory_kwargs))
+        return report
+
+    # -- planning -------------------------------------------------------------
+    def build_plan(self, fp):
+        if self._dirty or self._plan is None:
+            self._plan = build_execution_plan(
+                self._passes, fp,
+                backends=self.backend_caps,
+                default_backend=self._default_backend,
+                preexisting_semantics=self._preexisting,
+            )
+            self._dirty = False
+        return self._plan
+
+    def execution_report(self):
+        return self._plan
+
+    # -- execution -------------------------------------------------------------
+    def execute(self, ctx: RenderContext, frame_state: dict, fp) -> dict:
+        plan = self.build_plan(fp)
+        ctx.backends = self.backend_impls
+        return execute_plan(plan, self._passes, ctx, frame_state, fp)
+
+    # -- temporal state ---------------------------------------------------------
+    def reset_history(self):
+        for p in self._passes:
+            p.reset_history()

@@ -1,0 +1,306 @@
+"""Tiled Pallas rasterizer: the hot kernel of the framework.
+
+Design (the TPU re-expression of the reference's screen-tile parallelism,
+draw_triangle_tile / hello_pipeline_blinn_phong_shading.cpp:189):
+
+1. *Binning* (plain XLA): each post-clip triangle's screen bbox is tested
+   against the tile grid; per-tile triangle index lists (capped, padded,
+   submission-ordered) are built with a cumsum + scatter.  The per-triangle
+   setup records are then gathered per tile so the kernel reads only
+   contiguous VMEM blocks — no dynamic indexing inside the kernel.
+
+2. *Raster kernel* (Pallas, grid = tile grid): each program owns one
+   (TILE_H, TILE_W) framebuffer tile — the same disjoint-ownership trick the
+   reference uses for lock-free z-buffering, but with the tile's triangle
+   list processed in vectorized chunks: barycentric evaluation is a fused
+   broadcast FMA over (chunk, TILE_H, TILE_W), and the z-buffer resolves via
+   min-reductions with first-submission tie-breaking (matching the
+   sequential `z01 >= zbuf -> skip` rule, rasterizer.hpp:362-365).
+
+Output is the visibility buffer (depth01, tri id); attribute interpolation
+and shading are separate fullscreen passes (raster/interp.py).
+
+Setup record layout (16 f32 lanes per triangle):
+  [0:9]  barycentric affine coefficients A0,B0,C0,A1,B1,C1,A2,B2,C2
+  [9:12] per-corner 1/w
+  [12:15] per-corner z_ndc/w (used by DEPTH_NDC01 / ortho shadow mode)
+  [15]   triangle id as f32 (-1 = invalid; exact below 2^24 triangles)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lsr_tpu.raster.setup import DEPTH_NDC01, DEPTH_VIEWZ, TriSetup
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def default_interpret() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (tests/CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "cap")
+)
+def bin_triangles(setup: TriSetup, width, height, tile_h, tile_w, cap):
+    """Build per-tile triangle lists.
+
+    Returns (lists (num_tiles, cap) i32 with -1 padding, counts (num_tiles,),
+    max_count scalar for overflow monitoring).  Lists preserve submission
+    order (required for the first-wins depth tie rule).
+    """
+    tiles_x = _cdiv(width, tile_w)
+    tiles_y = _cdiv(height, tile_h)
+    num_tiles = tiles_x * tiles_y
+    n = setup.coef.shape[0]
+
+    bb = setup.bbox
+    tx0 = bb[:, 0] // tile_w
+    ty0 = bb[:, 1] // tile_h
+    tx1 = bb[:, 2] // tile_w
+    ty1 = bb[:, 3] // tile_h
+
+    tx = jnp.arange(tiles_x, dtype=jnp.int32)
+    ty = jnp.arange(tiles_y, dtype=jnp.int32)
+    ox = (tx0[None, :] <= tx[:, None]) & (tx[:, None] <= tx1[None, :])  # (tiles_x, N)
+    oy = (ty0[None, :] <= ty[:, None]) & (ty[:, None] <= ty1[None, :])  # (tiles_y, N)
+    mask = (oy[:, None, :] & ox[None, :, :]) & setup.valid[None, None, :]
+    mask = mask.reshape(num_tiles, n)
+
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1       # (num_tiles, N)
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)           # (num_tiles,)
+    keep = mask & (pos < cap)
+
+    tile_base = (jnp.arange(num_tiles, dtype=jnp.int32) * cap)[:, None]
+    flat_target = jnp.where(keep, tile_base + pos, num_tiles * cap)
+    tri_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (num_tiles, n))
+
+    lists = jnp.full((num_tiles * cap,), -1, jnp.int32)
+    lists = lists.at[flat_target.reshape(-1)].set(tri_ids.reshape(-1), mode="drop")
+    return lists.reshape(num_tiles, cap), jnp.minimum(counts, cap), jnp.max(counts)
+
+
+def pack_tile_setup(setup: TriSetup, lists):
+    """Gather per-triangle records into per-tile (cap, 16) blocks."""
+    safe = jnp.maximum(lists, 0)                 # (num_tiles, cap)
+    tid_f = jnp.where(lists >= 0, lists, -1).astype(jnp.float32)
+    rec = jnp.concatenate(
+        [
+            setup.coef,                          # (N, 9)
+            setup.iw,                            # (N, 3)
+            setup.ziw,                           # (N, 3)
+            jnp.zeros((setup.coef.shape[0], 1), jnp.float32),
+        ],
+        axis=-1,
+    )                                            # (N, 16)
+    tile_rec = rec[safe]                         # (num_tiles, cap, 16)
+    tile_rec = tile_rec.at[..., 15].set(tid_f)
+    return tile_rec
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _raster_kernel(
+    counts_ref,  # (num_tiles,) i32 scalar-prefetch: triangles per tile list
+    z_ref,       # (1, 128) f32 VMEM: [0]=zn, [1]=inv_range (rest padding)
+    setup_ref,   # (1, cap, 16) f32 VMEM
+    depth_in,    # (TILE_H, TILE_W) f32
+    tid_in,      # (TILE_H, TILE_W) i32
+    depth_out,
+    tid_out,
+    *,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    chunk: int,
+    depth_mode: int,
+    tiles_x: int,
+):
+    tyi = pl.program_id(0)
+    txi = pl.program_id(1)
+    x0 = (txi * tile_w).astype(jnp.float32)
+    y0 = (tyi * tile_h).astype(jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px = x0 + col + 0.5  # pixel centers (rasterizer.hpp:336)
+    py = y0 + row + 0.5
+    # NDC coverage bound (see raster/brute.py): last row/col never covered.
+    ndc_ok = (px <= float(width - 1)) & (py <= float(height - 1))
+
+    pxb = px[None]  # (1, TILE_H, TILE_W)
+    pyb = py[None]
+
+    zn = z_ref[0, 0]
+    inv_range = z_ref[0, 1]
+    count = counts_ref[tyi * tiles_x + txi]
+
+    kids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0).astype(jnp.float32)
+    big = jnp.float32(1e9)
+
+    def chunk_body(ci, carry):
+        depth, tid = carry
+
+        def live(carry):
+            depth, tid = carry
+            base = ci * chunk
+            blk = setup_ref[0, pl.ds(base, chunk), :]  # (chunk, 16)
+
+            def f(j):
+                return blk[:, j].reshape(chunk, 1, 1)
+
+            bc0 = f(0) * pxb + f(1) * pyb + f(2)
+            bc1 = f(3) * pxb + f(4) * pyb + f(5)
+            bc2 = f(6) * pxb + f(7) * pyb + f(8)
+            tidv = f(15)
+            inside = (
+                (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
+                & (tidv >= 0.0) & ndc_ok[None]
+            )
+            denom = bc0 * f(9) + bc1 * f(10) + bc2 * f(11)
+            inside &= denom > 1e-10
+            if depth_mode == DEPTH_VIEWZ:
+                view_z = 1.0 / jnp.maximum(denom, 1e-10)
+                z01 = jnp.clip((view_z - zn) * inv_range, 0.0, 1.0)
+            else:
+                zlin = (bc0 * f(12) + bc1 * f(13) + bc2 * f(14)) / jnp.maximum(
+                    denom, 1e-10
+                )
+                z01 = jnp.clip(zlin * 0.5 + 0.5, 0.0, 1.0)
+
+            cand = jnp.where(inside, z01, 2.0)
+            best = jnp.min(cand, axis=0)  # (TILE_H, TILE_W)
+            # First-submitted among equal-depth: min list position wins.
+            isbest = cand == best[None]
+            win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
+            win_tid = jnp.max(
+                jnp.where(kids == win_k[None], tidv, -big), axis=0
+            )
+            upd = best < depth  # strict: earlier submissions keep ties
+            depth = jnp.where(upd, best, depth)
+            tid = jnp.where(upd, win_tid.astype(jnp.int32), tid)
+            return depth, tid
+
+        return jax.lax.cond(ci * chunk < count, live, lambda c: c, carry)
+
+    n_chunks = cap // chunk
+    depth, tid = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (depth_in[:, :], tid_in[:, :])
+    )
+    depth_out[:, :] = depth
+    tid_out[:, :] = tid
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "depth_mode", "tile_h", "tile_w", "cap", "chunk",
+        "interpret",
+    ),
+)
+def rasterize_tiled(
+    setup: TriSetup,
+    width: int,
+    height: int,
+    zn,
+    zf,
+    depth_init=None,
+    tid_init=None,
+    depth_mode: int = DEPTH_VIEWZ,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    cap: int = 512,
+    chunk: int = 8,
+    interpret: bool | None = None,
+):
+    """Tile-parallel rasterization.  Returns (depth01 (H,W), tid (H,W), max_bin).
+
+    max_bin is the largest per-tile triangle count BEFORE capping — if it
+    exceeds `cap`, triangles were dropped and `cap` must be raised.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    tiles_x = _cdiv(width, tile_w)
+    tiles_y = _cdiv(height, tile_h)
+    num_tiles = tiles_x * tiles_y
+    ph, pw = tiles_y * tile_h, tiles_x * tile_w
+
+    lists, counts, max_bin = bin_triangles(
+        setup, width, height, tile_h, tile_w, cap
+    )
+    tile_rec = pack_tile_setup(setup, lists)
+
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    if tid_init is None:
+        tid_init = jnp.full((height, width), -1, jnp.int32)
+    dpad = jnp.pad(depth_init, ((0, ph - height), (0, pw - width)), constant_values=1.0)
+    tpad = jnp.pad(tid_init, ((0, ph - height), (0, pw - width)), constant_values=-1)
+
+    zparams = jnp.zeros((1, 128), jnp.float32)
+    zparams = zparams.at[0, 0].set(zn).at[0, 1].set(
+        1.0 / jnp.maximum(zf - zn, 1e-6)
+    )
+
+    kern = functools.partial(
+        _raster_kernel,
+        width=width,
+        height=height,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        cap=cap,
+        chunk=chunk,
+        depth_mode=depth_mode,
+        tiles_x=tiles_x,
+    )
+
+    tile_block = lambda: pl.BlockSpec(  # noqa: E731
+        (tile_h, tile_w), lambda i, j, c: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, j, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, 16), lambda i, j, c: (i * tiles_x + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_block(),
+            tile_block(),
+        ],
+        out_specs=(tile_block(), tile_block()),
+    )
+    depth, tid = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(counts, zparams, tile_rec, dpad, tpad)
+
+    return depth[:height, :width], tid[:height, :width], max_bin

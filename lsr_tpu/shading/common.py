@@ -1,0 +1,135 @@
+"""Shading common: materials SoA, texture sampling, shared BRDF helpers.
+
+Fragment shaders in this framework are fused fullscreen array transforms over
+the G-buffer (the TPU re-expression of the per-pixel std::function FS of
+shader/program.hpp:22).  Per-object uniforms live in SoA arrays gathered by
+the per-pixel object id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["base_color", "metallic", "roughness", "ao", "emissive", "tex_id"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class MaterialsSoA:
+    """Per-object material table (analog of MaterialData, resources/material.hpp:22)."""
+
+    base_color: jnp.ndarray  # (O, 3) linear
+    metallic: jnp.ndarray    # (O,)
+    roughness: jnp.ndarray   # (O,)
+    ao: jnp.ndarray          # (O,)
+    emissive: jnp.ndarray    # (O, 3)
+    tex_id: jnp.ndarray      # (O,) i32 into the texture array; -1 = none
+
+
+def make_materials(
+    base_color=((1.0, 1.0, 1.0),),
+    metallic=(0.0,),
+    roughness=(0.6,),
+    ao=(1.0,),
+    emissive=None,
+    tex_id=None,
+) -> MaterialsSoA:
+    base_color = jnp.asarray(base_color, jnp.float32)
+    o = base_color.shape[0]
+    if emissive is None:
+        emissive = jnp.zeros((o, 3), jnp.float32)
+    if tex_id is None:
+        tex_id = jnp.full((o,), -1, jnp.int32)
+    return MaterialsSoA(
+        base_color=base_color,
+        metallic=jnp.asarray(metallic, jnp.float32),
+        roughness=jnp.asarray(roughness, jnp.float32),
+        ao=jnp.asarray(ao, jnp.float32),
+        emissive=jnp.asarray(emissive, jnp.float32),
+        tex_id=jnp.asarray(tex_id, jnp.int32),
+    )
+
+
+def _norm(v, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def sample_texture_bilinear(textures, tex_id, uv):
+    """Bilinear, repeat-wrapped texture sampling over a texture array.
+
+    textures: (NT, TH, TW, 3) f32 LINEAR texels (sRGB decode happens at
+    upload; the reference decodes per-texel before the bilinear mix
+    (builtin_shaders.hpp:47-54), which is numerically identical).
+    tex_id: (H, W) i32 (-1 = none -> white).
+    uv: (H, W, 2).
+    Returns (H, W, 3).
+    """
+    nt, th, tw, _ = textures.shape
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    fx = u * (tw - 1)
+    fy = v * (th - 1)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    tid = jnp.maximum(tex_id, 0)
+    c00 = textures[tid, y0, x0]
+    c10 = textures[tid, y0, x1]
+    c01 = textures[tid, y1, x0]
+    c11 = textures[tid, y1, x1]
+    cx0 = c00 + (c10 - c00) * tx
+    cx1 = c01 + (c11 - c01) * tx
+    out = cx0 + (cx1 - cx0) * ty
+    return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+
+
+def eval_fake_ibl(n, v, base_color, metallic, roughness, ao):
+    """Ambient approximation without LUT/PMREM (builtin_shaders.hpp:57-89).
+
+    All args broadcastable to (H, W, 3) / (H, W, 1).
+    """
+    n = _norm(n)
+    v = _norm(v)
+    ndv = jnp.sum(n * v, axis=-1, keepdims=True)
+    r = 2.0 * ndv * n - v  # reflect(-v, n)
+
+    sky_zenith = jnp.array([0.32, 0.46, 0.72], jnp.float32)
+    sky_horizon = jnp.array([0.62, 0.66, 0.72], jnp.float32)
+    ground = jnp.array([0.16, 0.15, 0.14], jnp.float32)
+
+    up_n = jnp.clip(n[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+    up_r = jnp.clip(r[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+    env_n = ground + ((sky_horizon + (sky_zenith - sky_horizon) * up_n) - ground) * up_n
+    env_r = ground + ((sky_horizon + (sky_zenith - sky_horizon) * up_r) - ground) * up_r
+
+    m = jnp.clip(metallic, 0.0, 1.0)
+    rgh = jnp.clip(roughness, 0.0, 1.0)
+    f0 = 0.04 + (jnp.maximum(base_color, 0.0) - 0.04) * m
+    fres = jnp.power(1.0 - jnp.maximum(ndv, 0.0), 5.0)
+    f = f0 + (1.0 - f0) * fres
+
+    kd = (1.0 - f) * (1.0 - m)
+    diffuse = kd * base_color * env_n * 0.12
+    spec_strength = 0.02 + (1.0 - rgh) * 0.18
+    spec = env_r * f * spec_strength
+    return (diffuse + spec) * jnp.clip(ao, 0.0, 1.0)
+
+
+def checkerboard_texture(size: int = 64, squares: int = 8,
+                         c0=(0.8, 0.8, 0.8), c1=(0.2, 0.25, 0.35)) -> np.ndarray:
+    """Host-side procedural test texture (linear color)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    cell = ((xx * squares // size) + (yy * squares // size)) % 2
+    tex = np.where(cell[..., None] == 0, np.float32(c0), np.float32(c1))
+    return tex.astype(np.float32)
