@@ -1,0 +1,190 @@
+"""Tiled / clustered light binning.
+
+The TPU re-design of jolt_light_culling.hpp:135-341 + light_culling_runtime.hpp:
+166-373: per-tile (16 px) light index lists with a hard per-tile cap (the
+flagship's 128, hello_rendering_paths.cpp:90-91), in three variants:
+
+- TILED: tile sub-frustum (4 side planes through the camera) vs light sphere,
+- TILED_DEPTH_RANGE: plus per-tile [min, max] view-depth bounds reduced from
+  the depth buffer (cull_lights_tiled_view_depth_range analog),
+- CLUSTERED: logarithmic view-z slices (view_depth_to_cluster_slice,
+  light_culling_runtime.hpp:172) — lists are per (tile, slice).
+
+Everything is masks + cumsum + scatter (same machinery as triangle binning):
+no dynamic shapes, submission order preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lsr_tpu.lighting.light_types import LightsSoA, light_bounding_spheres
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _tile_grid(width, height, tile_size):
+    return _cdiv(width, tile_size), _cdiv(height, tile_size)
+
+
+def view_space_spheres(view, centers, radii):
+    hom = jnp.concatenate([centers, jnp.ones_like(centers[..., :1])], -1)
+    c_view = hom @ view.T
+    return c_view[..., :3], radii
+
+
+def tile_side_planes(width, height, tile_size, proj):
+    """Per-tile view-space side planes (nx,ny,nz) through the origin.
+
+    Built from the projection's tangent extents; inward-positive normals.
+    Returns (tiles, 4, 3) for [left, right, bottom, top].
+    """
+    tiles_x, tiles_y = _tile_grid(width, height, tile_size)
+    # Half-extents of the view frustum at z=1 from the projection diagonal.
+    tan_x = 1.0 / proj[0, 0]
+    tan_y = 1.0 / proj[1, 1]
+
+    # Tile borders in NDC (using the (W-1)/(H-1) screen mapping convention).
+    def borders(n_tiles, limit, full):
+        edge_px = jnp.arange(n_tiles + 1, dtype=jnp.float32) * tile_size
+        edge_px = jnp.minimum(edge_px, limit)
+        return edge_px / limit * 2.0 - 1.0  # NDC in [-1, 1]
+
+    bx = borders(tiles_x, width - 1, width) * tan_x    # (tiles_x+1,) view x/z
+    by = borders(tiles_y, height - 1, height) * tan_y
+
+    def plane_x(slope, sign):
+        # Points with view.x <=> slope * view.z; normal ~ (sign, 0, -sign*slope)
+        n = jnp.stack([jnp.full_like(slope, sign), jnp.zeros_like(slope),
+                       -sign * slope], -1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+    def plane_y(slope, sign):
+        n = jnp.stack([jnp.zeros_like(slope), jnp.full_like(slope, sign),
+                       -sign * slope], -1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+    left = plane_x(bx[:-1], 1.0)     # inside: x >= slope*z
+    right = plane_x(bx[1:], -1.0)    # inside: x <= slope*z
+    bottom = plane_y(by[:-1], 1.0)
+    top = plane_y(by[1:], -1.0)
+
+    lx = jnp.broadcast_to(left[None, :, :], (tiles_y, tiles_x, 3))
+    rx = jnp.broadcast_to(right[None, :, :], (tiles_y, tiles_x, 3))
+    bo = jnp.broadcast_to(bottom[:, None, :], (tiles_y, tiles_x, 3))
+    tp = jnp.broadcast_to(top[:, None, :], (tiles_y, tiles_x, 3))
+    planes = jnp.stack([lx, rx, bo, tp], axis=2)  # (ty, tx, 4, 3)
+    return planes.reshape(tiles_y * tiles_x, 4, 3)
+
+
+def _mask_to_lists(mask, cap):
+    """(tiles, L) bool -> (lists (tiles, cap) i32 -1-padded, counts, max_count)."""
+    num_tiles, num_lights = mask.shape
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    keep = mask & (pos < cap)
+    base = (jnp.arange(num_tiles, dtype=jnp.int32) * cap)[:, None]
+    flat = jnp.where(keep, base + pos, num_tiles * cap)
+    ids = jnp.broadcast_to(
+        jnp.arange(num_lights, dtype=jnp.int32)[None, :], mask.shape
+    )
+    lists = jnp.full((num_tiles * cap,), -1, jnp.int32)
+    lists = lists.at[flat.reshape(-1)].set(ids.reshape(-1), mode="drop")
+    return lists.reshape(num_tiles, cap), jnp.minimum(counts, cap), counts.max()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_size", "cap")
+)
+def cull_lights_tiled(
+    lights: LightsSoA, view, proj, width: int, height: int,
+    tile_size: int = 16, cap: int = 128,
+    tile_depth_range=None,
+):
+    """Tiled light binning.  tile_depth_range: optional (tiles, 2) view-z
+    [min,max] to also test (TiledDepthRange mode).
+
+    Returns (lists (tiles, cap), counts (tiles,), max_count).
+    Local lights only: directional/env-probe rows never enter tile lists
+    (they are applied globally, matching the reference's culling shapes).
+    """
+    centers, radii = light_bounding_spheres(lights)
+    c_view, r = view_space_spheres(view, centers, radii)
+
+    planes = tile_side_planes(width, height, tile_size, proj)  # (tiles, 4, 3)
+    # Signed distances: (tiles, 4, L)
+    d = jnp.einsum("tpc,lc->tpl", planes, c_view)
+    inside = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+
+    local = (lights.type != 0) & (lights.type != 5) & lights.enabled
+    mask = inside & local[None, :]
+
+    if tile_depth_range is not None:
+        zmin = tile_depth_range[:, 0][:, None]
+        zmax = tile_depth_range[:, 1][:, None]
+        z = c_view[None, :, 2]
+        overlap = (z + r[None, :] >= zmin) & (z - r[None, :] <= zmax)
+        mask = mask & overlap
+
+    return _mask_to_lists(mask, cap)
+
+
+def tile_depth_ranges_from_buffer(depth01, zn, zf, width, height, tile_size):
+    """Per-tile [min,max] view depth reduced from the depth buffer
+    (light_culling_runtime.hpp:188 analog, but from the real depth plane)."""
+    tiles_x, tiles_y = _tile_grid(width, height, tile_size)
+    ph, pw = tiles_y * tile_size, tiles_x * tile_size
+    d = jnp.pad(depth01, ((0, ph - depth01.shape[0]), (0, pw - depth01.shape[1])),
+                constant_values=1.0)
+    d = d.reshape(tiles_y, tile_size, tiles_x, tile_size)
+    view_z = zn + d * (zf - zn)
+    zmin = view_z.min(axis=(1, 3)).reshape(-1)
+    zmax = view_z.max(axis=(1, 3)).reshape(-1)
+    return jnp.stack([zmin, zmax], axis=-1)
+
+
+def cluster_slice_bounds(zn, zf, slices: int):
+    """Logarithmic z slice boundaries (view_depth_to_cluster_slice inverse)."""
+    k = jnp.arange(slices + 1, dtype=jnp.float32) / slices
+    return zn * jnp.power(zf / zn, k)  # (slices+1,)
+
+
+def view_depth_to_cluster_slice(view_z, zn, zf, slices: int):
+    """light_culling_runtime.hpp:172: logarithmic slice index, clamped."""
+    t = jnp.log(jnp.maximum(view_z, 1e-6) / zn) / jnp.log(zf / zn)
+    return jnp.clip(jnp.floor(t * slices).astype(jnp.int32), 0, slices - 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_size", "cap", "slices")
+)
+def cull_lights_clustered(
+    lights: LightsSoA, view, proj, zn, zf,
+    width: int, height: int, tile_size: int = 16, cap: int = 128,
+    slices: int = 16,
+):
+    """Clustered binning: lists (tiles * slices, cap).  Cluster index =
+    tile * slices + slice."""
+    centers, radii = light_bounding_spheres(lights)
+    c_view, r = view_space_spheres(view, centers, radii)
+    planes = tile_side_planes(width, height, tile_size, proj)
+    d = jnp.einsum("tpc,lc->tpl", planes, c_view)
+    inside_xy = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+
+    bounds = cluster_slice_bounds(zn, zf, slices)        # (slices+1,)
+    z = c_view[:, 2]
+    z_lo = bounds[:-1][:, None]                          # (slices, 1)
+    z_hi = bounds[1:][:, None]
+    overlap = (z[None, :] + r[None, :] >= z_lo) & (z[None, :] - r[None, :] <= z_hi)
+
+    local = (lights.type != 0) & (lights.type != 5) & lights.enabled
+    mask = (
+        inside_xy[:, None, :] & overlap[None, :, :] & local[None, None, :]
+    )  # (tiles, slices, L)
+    num_tiles = mask.shape[0]
+    return _mask_to_lists(mask.reshape(num_tiles * slices, -1), cap)

@@ -40,8 +40,10 @@ class GBuffer:
     face_normal: jnp.ndarray  # (H, W, 3) geometric (flat) normal
 
 
-def interpolate_gbuffer(setup: TriSetup, depth01, tid) -> GBuffer:
-    """Gather per-pixel triangle data and interpolate attributes."""
+def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0) -> GBuffer:
+    """Gather per-pixel triangle data and interpolate attributes.
+
+    y_offset: global row of this band's first row (screen-space sharding)."""
     h, w = tid.shape
     covered = tid >= 0
     safe = jnp.where(covered, tid, 0)
@@ -50,7 +52,9 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid) -> GBuffer:
     iw = setup.iw[safe]      # (H, W, 3)
 
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
-    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] + jnp.asarray(
+        y_offset, jnp.float32
+    )
 
     bc = jnp.stack(
         [

@@ -199,14 +199,21 @@ def scene_setup(
     height: int,
     cull_mode: int = CULL_BACK,
     front_face_ccw: bool = True,
+    obj_visible=None,
 ) -> TriSetup:
-    """Full geometry front-end: vertex stage + clip + setup, jit-friendly."""
+    """Full geometry front-end: vertex stage + clip + setup, jit-friendly.
+
+    obj_visible: optional (O,) bool mask (frustum/occlusion culling output)
+    folded into triangle validity — the TPU form of per-item culling.
+    """
     world, clip_v, n_ws = vertex_stage(
         positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
     )
     clip_t, attrs, valid, obj2 = assemble_and_clip(
         clip_v, world, n_ws, uvs, indices, tri_obj
     )
+    if obj_visible is not None:
+        valid = valid & obj_visible[obj2]
     return build_setup(
         clip_t, attrs, valid, obj2, width, height, cull_mode, front_face_ccw
     )

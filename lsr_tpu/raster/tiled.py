@@ -56,12 +56,16 @@ def default_interpret() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "cap")
 )
-def bin_triangles(setup: TriSetup, width, height, tile_h, tile_w, cap):
+def bin_triangles(setup: TriSetup, width, height, tile_h, tile_w, cap,
+                  y_offset=0):
     """Build per-tile triangle lists.
 
     Returns (lists (num_tiles, cap) i32 with -1 padding, counts (num_tiles,),
     max_count scalar for overflow monitoring).  Lists preserve submission
     order (required for the first-wins depth tie rule).
+
+    y_offset: global row of this target's first row (screen-space sharding:
+    each device rasterizes a horizontal band of the full framebuffer).
     """
     tiles_x = _cdiv(width, tile_w)
     tiles_y = _cdiv(height, tile_h)
@@ -70,9 +74,9 @@ def bin_triangles(setup: TriSetup, width, height, tile_h, tile_w, cap):
 
     bb = setup.bbox
     tx0 = bb[:, 0] // tile_w
-    ty0 = bb[:, 1] // tile_h
+    ty0 = jnp.floor_divide(bb[:, 1] - y_offset, tile_h)
     tx1 = bb[:, 2] // tile_w
-    ty1 = bb[:, 3] // tile_h
+    ty1 = jnp.floor_divide(bb[:, 3] - y_offset, tile_h)
 
     tx = jnp.arange(tiles_x, dtype=jnp.int32)
     ty = jnp.arange(tiles_y, dtype=jnp.int32)
@@ -137,14 +141,14 @@ def _raster_kernel(
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
     x0 = (txi * tile_w).astype(jnp.float32)
-    y0 = (tyi * tile_h).astype(jnp.float32)
+    y0 = (tyi * tile_h).astype(jnp.float32) + z_ref[0, 2]  # + global row offset
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     px = x0 + col + 0.5  # pixel centers (rasterizer.hpp:336)
     py = y0 + row + 0.5
     # NDC coverage bound (see raster/brute.py): last row/col never covered.
-    ndc_ok = (px <= float(width - 1)) & (py <= float(height - 1))
+    ndc_ok = (px <= float(width - 1)) & (py <= z_ref[0, 3])
 
     pxb = px[None]  # (1, TILE_H, TILE_W)
     pyb = py[None]
@@ -234,21 +238,28 @@ def rasterize_tiled(
     cap: int = 512,
     chunk: int = 8,
     interpret: bool | None = None,
+    y_offset=0,
+    full_height: int | None = None,
 ):
     """Tile-parallel rasterization.  Returns (depth01 (H,W), tid (H,W), max_bin).
 
     max_bin is the largest per-tile triangle count BEFORE capping — if it
     exceeds `cap`, triangles were dropped and `cap` must be raised.
+
+    y_offset/full_height support screen-space sharding: this call renders
+    global rows [y_offset, y_offset + height) of a full_height framebuffer.
     """
     if interpret is None:
         interpret = default_interpret()
+    if full_height is None:
+        full_height = height
     tiles_x = _cdiv(width, tile_w)
     tiles_y = _cdiv(height, tile_h)
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
     lists, counts, max_bin = bin_triangles(
-        setup, width, height, tile_h, tile_w, cap
+        setup, width, height, tile_h, tile_w, cap, y_offset=y_offset
     )
     tile_rec = pack_tile_setup(setup, lists)
 
@@ -260,8 +271,11 @@ def rasterize_tiled(
     tpad = jnp.pad(tid_init, ((0, ph - height), (0, pw - width)), constant_values=-1)
 
     zparams = jnp.zeros((1, 128), jnp.float32)
-    zparams = zparams.at[0, 0].set(zn).at[0, 1].set(
-        1.0 / jnp.maximum(zf - zn, 1e-6)
+    zparams = (
+        zparams.at[0, 0].set(zn)
+        .at[0, 1].set(1.0 / jnp.maximum(zf - zn, 1e-6))
+        .at[0, 2].set(jnp.asarray(y_offset, jnp.float32))
+        .at[0, 3].set(jnp.float32(full_height - 1))
     )
 
     kern = functools.partial(

@@ -1,0 +1,126 @@
+"""Shadow mapping + frustum/occlusion culling tests (config #3 behaviors)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsr_tpu.core import math3d as m3
+from lsr_tpu.core.frame import ShadowPassParams
+from lsr_tpu.geometry.occlusion import (
+    build_hiz_pyramid,
+    occlusion_cull_aabbs,
+    run_occlusion_pass,
+)
+from lsr_tpu.io.obj import load_obj, make_cube, make_plane
+from lsr_tpu.lighting.shadow_sample import shadow_visibility_dir
+from lsr_tpu.passes.shadow import make_sun_shadow, render_shadow_map
+from lsr_tpu.scene.scene import SceneBuilder, cull_scene, make_camera
+from lsr_tpu.shading.models import make_shade_context
+from lsr_tpu.shading.common import make_materials
+
+MONKEY = "/root/reference/cpp-folders/src/assets/obj/monkey/monkey.rawobj"
+SUN = (0.3, -1.0, 0.25)
+
+
+def _shadow_scene():
+    b = SceneBuilder()
+    b.add(load_obj(MONKEY), np.asarray(m3.translate([0.0, 0.6, 0.0])))
+    b.add(make_plane(5.0, y=-1.0), material=1, casts_shadow=False)
+    return b.build()
+
+
+def test_shadow_map_covers_casters():
+    geom, objects = _shadow_scene()
+    depth, light_vp = render_shadow_map(geom, objects, jnp.asarray(SUN, jnp.float32),
+                                        map_size=256, use_tiled=False)
+    d = np.asarray(depth)
+    assert d.shape == (256, 256)
+    # The monkey must have written depth strictly nearer than the 1.0 clear.
+    assert (d < 0.999).sum() > 800
+    assert d.min() >= 0.0
+
+
+def test_ground_is_shadowed_under_monkey():
+    geom, objects = _shadow_scene()
+    shadow = make_sun_shadow(geom, objects, jnp.asarray(SUN, jnp.float32),
+                             ShadowPassParams(map_size=512, pcf_radius=1))
+    # Sample ground points: one under the monkey (offset along sun dir from
+    # (0, 0.6, 0) to y=-1: t = 1.6/1.0), one far away.
+    t = 1.6 / 1.0
+    sx, sz = 0.3 * t, 0.25 * t
+    pts = jnp.array([[[sx, -1.0, sz], [4.0, -1.0, 4.0]]], jnp.float32)  # (1,2,3)
+    ndl = jnp.ones((1, 2), jnp.float32)
+    vis = np.asarray(shadow_visibility_dir(shadow, pts, ndl))[0]
+    assert vis[0] < 0.35, f"under-monkey point not shadowed: {vis}"
+    assert vis[1] > 0.9, f"far point wrongly shadowed: {vis}"
+
+
+def test_pcf_soft_edges():
+    geom, objects = _shadow_scene()
+    hard = make_sun_shadow(geom, objects, jnp.asarray(SUN, jnp.float32),
+                           ShadowPassParams(map_size=512, pcf_radius=0))
+    soft = make_sun_shadow(geom, objects, jnp.asarray(SUN, jnp.float32),
+                           ShadowPassParams(map_size=512, pcf_radius=2))
+    xs = np.linspace(-1.5, 1.5, 512, dtype=np.float32)
+    pts = jnp.asarray(
+        np.stack([xs + 0.48, np.full_like(xs, -1.0), np.full_like(xs, 0.4)], -1)
+    )[None]
+    ndl = jnp.ones((1, 512), jnp.float32)
+    v_hard = np.asarray(shadow_visibility_dir(hard, pts, ndl))[0]
+    v_soft = np.asarray(shadow_visibility_dir(soft, pts, ndl))[0]
+    # Hard shadows are binary; PCF produces intermediate penumbra values.
+    assert set(np.unique(v_hard)) <= {0.0, 1.0}
+    assert ((v_soft > 0.02) & (v_soft < 0.98)).sum() >= 2
+
+
+def test_frustum_culling_masks():
+    b = SceneBuilder()
+    b.add(make_cube(1.0), np.asarray(m3.translate([0, 0, 2.0])))     # in front
+    b.add(make_cube(1.0), np.asarray(m3.translate([0, 0, -10.0])))   # behind
+    b.add(make_cube(1.0), np.asarray(m3.translate([50.0, 0, 2.0])))  # far right
+    geom, objects = b.build()
+    cam = make_camera(128, 128, (0, 0, -3.0), (0, 0, 0))
+    vis = np.asarray(cull_scene(objects, cam.viewproj))
+    assert vis.tolist() == [True, False, False]
+
+
+def test_hiz_pyramid_max():
+    d = jnp.zeros((8, 8), jnp.float32).at[3, 5].set(0.7).at[0, 0].set(0.2)
+    pyr = build_hiz_pyramid(d, 4)
+    assert np.asarray(pyr[1]).shape == (4, 4)
+    assert np.isclose(float(pyr[3][0, 0]), 0.7)  # global max propagates
+
+
+def test_occlusion_cull_wall():
+    # Big wall in front of a small cube: cube occluded; control cube beside
+    # the wall stays visible.
+    b = SceneBuilder()
+    wall = b.add(make_cube(1.0), np.asarray(
+        m3.translate([0, 0, 0.0]) @ m3.scale([6.0, 6.0, 0.2])))
+    b.add(make_cube(0.8), np.asarray(m3.translate([0.0, 0.0, 3.0])))   # behind wall
+    b.add(make_cube(0.8), np.asarray(m3.translate([8.0, 0.0, 3.0])))   # beside
+    geom, objects = b.build()
+    cam = make_camera(160, 96, (0, 0, -6.0), (0, 0, 0), fov=np.pi / 2)
+    frustum = cull_scene(objects, cam.viewproj)
+    occluders = jnp.asarray([True, False, False])
+    vis = np.asarray(run_occlusion_pass(
+        geom, objects, cam.viewproj, cam.zn, cam.zf, frustum,
+        width=160, height=96, occluder_mask=occluders,
+    ))
+    assert vis[0]          # wall visible
+    assert not vis[1]      # hidden cube culled
+    assert vis[2]          # side cube kept
+
+
+def test_occlusion_conservative_near_crossing():
+    b = SceneBuilder()
+    b.add(make_cube(1.0), np.asarray(m3.scale([6.0, 6.0, 0.2])))
+    # Object straddling the camera position -> must stay visible.
+    b.add(make_cube(1.0), np.asarray(m3.translate([0, 0, -6.0]) @ m3.scale(3.0)))
+    geom, objects = b.build()
+    cam = make_camera(64, 64, (0, 0, -6.0), (0, 0, 0))
+    frustum = jnp.asarray([True, True])
+    vis = np.asarray(run_occlusion_pass(
+        geom, objects, cam.viewproj, cam.zn, cam.zf, frustum,
+        width=64, height=64, occluder_mask=jnp.asarray([True, False]),
+    ))
+    assert vis[1]
