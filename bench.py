@@ -84,7 +84,7 @@ def main():
     from lsr_tpu.passes.tonemap import tonemap_pass
     from lsr_tpu.raster.interp import interpolate_gbuffer
     from lsr_tpu.raster.setup import scene_setup
-    from lsr_tpu.raster.tiled import rasterize_tiled
+    from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import make_camera
 
     width = int(os.environ.get("LSR_BENCH_W", "1920"))
@@ -103,8 +103,8 @@ def main():
             geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
             viewproj, width, height,
         )
-        depth, tid, max_bin = rasterize_tiled(
-            setup, width, height, cam.zn, cam.zf, cap=cap
+        depth, tid, max_bin = rasterize_direct(
+            setup, width, height, cam.zn, cam.zf
         )
         gb = interpolate_gbuffer(setup, depth, tid)
         hdr, stats = shade_forward_plus(

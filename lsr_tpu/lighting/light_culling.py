@@ -28,8 +28,9 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _tile_grid(width, height, tile_size):
-    return _cdiv(width, tile_size), _cdiv(height, tile_size)
+def _tile_grid(width, height, tile_w, tile_h=None):
+    th = tile_w if tile_h is None else tile_h
+    return _cdiv(width, tile_w), _cdiv(height, th)
 
 
 def view_space_spheres(view, centers, radii):
@@ -38,25 +39,27 @@ def view_space_spheres(view, centers, radii):
     return c_view[..., :3], radii
 
 
-def tile_side_planes(width, height, tile_size, proj):
+def tile_side_planes(width, height, tile_size, proj, tile_h=None):
     """Per-tile view-space side planes (nx,ny,nz) through the origin.
 
     Built from the projection's tangent extents; inward-positive normals.
     Returns (tiles, 4, 3) for [left, right, bottom, top].
+    tile_size is the tile width; tile_h defaults to square tiles.
     """
-    tiles_x, tiles_y = _tile_grid(width, height, tile_size)
+    th = tile_size if tile_h is None else tile_h
+    tiles_x, tiles_y = _tile_grid(width, height, tile_size, th)
     # Half-extents of the view frustum at z=1 from the projection diagonal.
     tan_x = 1.0 / proj[0, 0]
     tan_y = 1.0 / proj[1, 1]
 
     # Tile borders in NDC (using the (W-1)/(H-1) screen mapping convention).
-    def borders(n_tiles, limit, full):
-        edge_px = jnp.arange(n_tiles + 1, dtype=jnp.float32) * tile_size
+    def borders(n_tiles, limit, step):
+        edge_px = jnp.arange(n_tiles + 1, dtype=jnp.float32) * step
         edge_px = jnp.minimum(edge_px, limit)
         return edge_px / limit * 2.0 - 1.0  # NDC in [-1, 1]
 
-    bx = borders(tiles_x, width - 1, width) * tan_x    # (tiles_x+1,) view x/z
-    by = borders(tiles_y, height - 1, height) * tan_y
+    bx = borders(tiles_x, width - 1, tile_size) * tan_x  # (tiles_x+1,) view x/z
+    by = borders(tiles_y, height - 1, th) * tan_y
 
     def plane_x(slope, sign):
         # Points with view.x <=> slope * view.z; normal ~ (sign, 0, -sign*slope)
@@ -99,12 +102,12 @@ def _mask_to_lists(mask, cap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_size", "cap")
+    jax.jit, static_argnames=("width", "height", "tile_size", "cap", "tile_h")
 )
 def cull_lights_tiled(
     lights: LightsSoA, view, proj, width: int, height: int,
     tile_size: int = 16, cap: int = 128,
-    tile_depth_range=None,
+    tile_depth_range=None, tile_h: int | None = None,
 ):
     """Tiled light binning.  tile_depth_range: optional (tiles, 2) view-z
     [min,max] to also test (TiledDepthRange mode).
@@ -112,11 +115,12 @@ def cull_lights_tiled(
     Returns (lists (tiles, cap), counts (tiles,), max_count).
     Local lights only: directional/env-probe rows never enter tile lists
     (they are applied globally, matching the reference's culling shapes).
+    tile_size is the tile width; tile_h defaults to square tiles.
     """
     centers, radii = light_bounding_spheres(lights)
     c_view, r = view_space_spheres(view, centers, radii)
 
-    planes = tile_side_planes(width, height, tile_size, proj)  # (tiles, 4, 3)
+    planes = tile_side_planes(width, height, tile_size, proj, tile_h)
     # Signed distances: (tiles, 4, L)
     d = jnp.einsum("tpc,lc->tpl", planes, c_view)
     inside = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
@@ -134,14 +138,17 @@ def cull_lights_tiled(
     return _mask_to_lists(mask, cap)
 
 
-def tile_depth_ranges_from_buffer(depth01, zn, zf, width, height, tile_size):
+def tile_depth_ranges_from_buffer(depth01, zn, zf, width, height, tile_size,
+                                  tile_h=None):
     """Per-tile [min,max] view depth reduced from the depth buffer
-    (light_culling_runtime.hpp:188 analog, but from the real depth plane)."""
-    tiles_x, tiles_y = _tile_grid(width, height, tile_size)
-    ph, pw = tiles_y * tile_size, tiles_x * tile_size
+    (light_culling_runtime.hpp:188 analog, but from the real depth plane).
+    tile_size is the tile width; tile_h defaults to square tiles."""
+    th = tile_size if tile_h is None else tile_h
+    tiles_x, tiles_y = _tile_grid(width, height, tile_size, th)
+    ph, pw = tiles_y * th, tiles_x * tile_size
     d = jnp.pad(depth01, ((0, ph - depth01.shape[0]), (0, pw - depth01.shape[1])),
                 constant_values=1.0)
-    d = d.reshape(tiles_y, tile_size, tiles_x, tile_size)
+    d = d.reshape(tiles_y, th, tiles_x, tile_size)
     view_z = zn + d * (zf - zn)
     zmin = view_z.min(axis=(1, 3)).reshape(-1)
     zmax = view_z.max(axis=(1, 3)).reshape(-1)

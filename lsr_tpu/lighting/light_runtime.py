@@ -156,6 +156,57 @@ def eval_local_lights(lights_g, world_pos, normal, view_dir):
     return diffuse, specular
 
 
+def pack_light_records(lights: LightsSoA):
+    """Pack the light SoA into ONE (L, 32) f32 record for fast row gathers.
+
+    Layout: [0] type | [1:4] pos | [4:7] dir | [7:10] up | [10:13] axis |
+    [13:16] color | [16] intensity | [17] range | [18] inner | [19] outer |
+    [20:22] rect_he | [22] tube_hl | [23] tube_r | [24] atten_model |
+    [25] atten_power | [26] atten_bias | [27] atten_cutoff | [28:32] pad.
+    """
+    l = lights.type.shape[0]  # noqa: E741
+    cols = [
+        lights.type.astype(jnp.float32)[:, None],
+        lights.position, lights.direction, lights.up, lights.axis,
+        lights.color,
+        lights.intensity[:, None], lights.range[:, None],
+        lights.inner_angle[:, None], lights.outer_angle[:, None],
+        lights.rect_half_extents,
+        lights.tube_half_length[:, None], lights.tube_radius[:, None],
+        lights.atten_model.astype(jnp.float32)[:, None],
+        lights.atten_power[:, None], lights.atten_bias[:, None],
+        lights.atten_cutoff[:, None],
+        jnp.zeros((l, 4), jnp.float32),
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def unpack_light_records(rec, live_mask=None):
+    """(…, 32) packed records -> the column dict eval_local_lights expects."""
+    intensity = rec[..., 16]
+    if live_mask is not None:
+        intensity = jnp.where(live_mask, intensity, 0.0)
+    return {
+        "type": rec[..., 0].astype(jnp.int32),
+        "position": rec[..., 1:4],
+        "direction": rec[..., 4:7],
+        "up": rec[..., 7:10],
+        "axis": rec[..., 10:13],
+        "color": rec[..., 13:16],
+        "intensity": intensity,
+        "range": rec[..., 17],
+        "inner_angle": rec[..., 18],
+        "outer_angle": rec[..., 19],
+        "rect_half_extents": rec[..., 20:22],
+        "tube_half_length": rec[..., 22],
+        "tube_radius": rec[..., 23],
+        "atten_model": rec[..., 24].astype(jnp.int32),
+        "atten_power": rec[..., 25],
+        "atten_bias": rec[..., 26],
+        "atten_cutoff": rec[..., 27],
+    }
+
+
 def _gather_light_columns(lights: LightsSoA, idx):
     """Gather light SoA columns by padded index array (…)->(…, C)."""
     safe = jnp.maximum(idx, 0)
@@ -227,11 +278,19 @@ def accumulate_local_lights(
     pad = n_chunks * chunk - cap
     lists_p = jnp.pad(tile_lists, ((0, 0), (0, pad)), constant_values=-1)
 
+    if list_idx is None:
+        # Pre-gather ALL per-tile light records in ONE wide row gather
+        # (per-row overhead dominates TPU gathers; see raster/interp.py).
+        packed = pack_light_records(lights)
+        tile_rec = packed[jnp.maximum(lists_p, 0)]          # (T, capP, 32)
+        tile_rec = jnp.where((lists_p >= 0)[..., None], tile_rec, 0.0)
+
     def body(carry, ck):
         diff, spec = carry
         if list_idx is None:
-            idx = jax.lax.dynamic_slice_in_dim(lists_p, ck * chunk, chunk, axis=1)
-            cols = _gather_light_columns(lights, idx)  # (T, chunk, C)
+            rec = jax.lax.dynamic_slice_in_dim(tile_rec, ck * chunk, chunk, axis=1)
+            live = rec[..., 17] > 0.0  # padded slots have zero range
+            cols = unpack_light_records(rec, live)
             # (T, 1, chunk, C) broadcasts against points (T, px, 1, 3).
             cols = {k: v[:, None] for k, v in cols.items()}
             d, s = eval_local_lights(cols, wp_t, n_t, v_t)

@@ -55,8 +55,10 @@ def render_band(geom, objects, viewproj, zn, zf, shade_ctx,
         viewproj, width, height, obj_visible=objects.visible,
     )
     if use_tiled:
-        depth, tid, _ = rasterize_tiled(
-            setup, width, band_h, zn, zf, cap=cap,
+        from lsr_tpu.raster.tiled import rasterize_direct
+
+        depth, tid, _ = rasterize_direct(
+            setup, width, band_h, zn, zf,
             y_offset=y_offset, full_height=height,
         )
     else:

@@ -46,6 +46,7 @@ def shade_forward_plus(
     slices: int = 16,
     sun_model: str = "pbr_mr",
     background=(0.04, 0.06, 0.1),
+    use_kernel: bool = True,
 ):
     """Full lit HDR frame from a G-buffer + light set.
 
@@ -54,8 +55,24 @@ def shade_forward_plus(
     # Sun + ambient/IBL via the built-in single-light models.
     base = SHADING_MODELS[sun_model](gb, ctx)
 
-    # Local light binning.
-    if mode == "clustered":
+    # Local light binning + accumulation.  The Pallas kernel path covers the
+    # tiled modes (the hot case); clustered keeps the XLA path.
+    if use_kernel and mode in ("tiled", "tiled_depth_range"):
+        from lsr_tpu.lighting.fplus_kernel import accumulate_lights_pallas
+
+        tdr = None
+        if mode == "tiled_depth_range":
+            tdr = tile_depth_ranges_from_buffer(
+                gb.depth01, zn, zf, width, height, 128, tile_h=32
+            )
+        diff, spec, max_count = accumulate_lights_pallas(
+            gb.world_pos, gb.normal_ws, gb.covered, ctx.camera_pos,
+            lights, view, proj, width, height,
+            tile_h=32, tile_w=128, cap=cap * 2, chunk=chunk,
+            tile_depth_range=tdr,
+        )
+        counts = jnp.zeros((1,), jnp.int32)  # stats placeholder
+    elif mode == "clustered":
         lists, counts, max_count = cull_lights_clustered(
             lights, view, proj, zn, zf, width, height,
             tile_size=tile_size, cap=cap, slices=slices,
@@ -83,11 +100,13 @@ def shade_forward_plus(
         )
 
     # Material combine (albedo-modulated diffuse + specular).
-    obj = jnp.maximum(gb.obj_id, 0)
-    albedo = ctx.materials.base_color[obj]
+    from lsr_tpu.shading.common import gather_materials
+
+    mat_base, _, _, _, _, tex_id = gather_materials(ctx.materials, gb.obj_id)
+    albedo = mat_base
     if ctx.textures is not None:
         albedo = albedo * sample_texture_bilinear(
-            ctx.textures, ctx.materials.tex_id[obj], gb.uv
+            ctx.textures, tex_id, gb.uv, quads=ctx.texture_quads
         )
     local = jnp.maximum(albedo, 0.0) * diff + spec
 

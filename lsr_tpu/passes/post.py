@@ -1,0 +1,307 @@
+"""Post-process stack: fused fullscreen image passes.
+
+Each pass mirrors a reference pass/demo, expressed as one XLA-fused array
+transform (these are the embarrassingly-parallel row loops of the reference,
+which is exactly what the VPU eats):
+
+- motion_vectors: per-pixel velocity from history matrices
+  (rasterizer.hpp:387-414 write_motion block)
+- motion_blur: velocity-scaled line blur with depth rejection on LDR
+  (pass_motion_blur.hpp:30-200; defaults frame_params.hpp:49-57)
+- light_shafts: sun screen projection + luma prepass + radial march
+  (pass_light_shafts.hpp:44-210; defaults frame_params.hpp:35-42)
+- gaussian_blur / bloom / fog / outline / dof: the HelloMultiPass &
+  hello-render-target post chains (hello_multi_pass.cpp:605-1050)
+- fxaa: luma-based edge AA (hello_multi_pass.cpp:1000 fxaa_pass)
+- taa: exponential history blend with neighborhood clamp
+  (TemporalAARuntimeState analog, core/context.hpp:98)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lsr_tpu.core.color import quantize_u8
+
+# ---------------------------------------------------------------------------
+# Motion vectors + motion blur
+# ---------------------------------------------------------------------------
+
+
+def motion_vectors_pass(gb, objects, viewproj, prev_viewproj, width, height,
+                        max_vel: float = 96.0):
+    """Per-pixel screen-space velocity in pixels (rasterizer.hpp:387-414)."""
+    obj = jnp.maximum(gb.obj_id, 0)
+    model = objects.model[obj]          # (H, W, 4, 4)
+    prev_model = objects.prev_model[obj]
+
+    wp = gb.world_pos
+    hom = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
+    # curr_to_prev = prev_model @ inverse(model); guard degenerate dets.
+    det = jnp.linalg.det(model[..., :3, :3])
+    safe = jnp.abs(det) > 1e-10
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=wp.dtype), model.shape)
+    inv_model = jnp.linalg.inv(jnp.where(safe[..., None, None], model, eye))
+    c2p = jnp.where(safe[..., None, None],
+                    prev_model @ inv_model, eye)
+
+    prev_world = jnp.einsum("hwij,hwj->hwi", c2p, hom)
+    curr_clip = hom @ viewproj.T
+    prev_clip = prev_world @ prev_viewproj.T
+
+    wc = curr_clip[..., 3:4]
+    wp_ = prev_clip[..., 3:4]
+    ok = (jnp.abs(wc) > 1e-8) & (jnp.abs(wp_) > 1e-8)
+    curr_ndc = curr_clip[..., :2] / jnp.where(ok, wc, 1.0)
+    prev_ndc = prev_clip[..., :2] / jnp.where(ok, wp_, 1.0)
+    vel = (curr_ndc - prev_ndc) * 0.5 * jnp.asarray([width, height], wp.dtype)
+    ln = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    scale = jnp.where(ln > max_vel, max_vel / jnp.maximum(ln, 1e-6), 1.0)
+    vel = vel * scale
+    vel = jnp.where(ok & gb.covered[..., None], vel, 0.0)
+    return vel
+
+
+@functools.partial(jax.jit, static_argnames=("samples",))
+def motion_blur_pass(ldr_u8, depth01, velocity, dt,
+                     samples: int = 10, strength: float = 1.0,
+                     max_velocity_px: float = 20.0,
+                     min_velocity_px: float = 0.25,
+                     depth_reject: float = 0.08):
+    """Velocity line blur on the LDR image (pass_motion_blur.hpp semantics,
+    including lround sampling, dt normalization clamp and the
+    'fewer than 1 accepted sample -> passthrough' rule)."""
+    h, w = depth01.shape
+    src = ldr_u8.astype(jnp.float32)
+    dt_scale = jnp.clip(jnp.maximum(dt, 1e-4) * 60.0, 0.5, 2.5)
+
+    v = velocity * (strength * dt_scale)
+    ln = jnp.linalg.norm(v, axis=-1)
+    over = (ln > max_velocity_px) & (ln > 1e-6)
+    v = jnp.where(over[..., None], v * (max_velocity_px / jnp.maximum(ln, 1e-6))[..., None], v)
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    cnt = jnp.zeros((h, w), jnp.float32)
+    for i in range(samples):
+        t = i / (samples - 1) - 0.5
+        sx = jnp.clip(jnp.round(xs + v[..., 0] * t), 0, w - 1).astype(jnp.int32)
+        sy = jnp.clip(jnp.round(ys + v[..., 1] * t), 0, h - 1).astype(jnp.int32)
+        sd = depth01[sy, sx]
+        take = jnp.abs(sd - depth01) <= depth_reject
+        acc = acc + jnp.where(take[..., None], src[sy, sx], 0.0)
+        cnt = cnt + take.astype(jnp.float32)
+
+    ok = (cnt >= 1.0) & (ln >= min_velocity_px)
+    avg = acc / jnp.maximum(cnt, 1.0)[..., None]
+    out = jnp.where(ok[..., None], avg, src)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Light shafts
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
+                      steps: int = 48, density: float = 0.8,
+                      weight: float = 0.9, decay: float = 0.95):
+    """Radial god-ray march toward the projected sun (pass_light_shafts.hpp)."""
+    h, w = depth01.shape
+    src = ldr_u8.astype(jnp.float32)
+
+    sun_pos = camera_pos + (-sun_dir_ws) * 100.0
+    clip = jnp.concatenate([sun_pos, jnp.ones(1, jnp.float32)]) @ viewproj.T
+    wc = clip[3]
+    ndc = clip[:3] / jnp.where(jnp.abs(wc) > 1e-6, wc, 1.0)
+    sun_u = ndc[0] * 0.5 + 0.5
+    sun_v = ndc[1] * 0.5 + 0.5
+    sun_valid = (
+        (jnp.abs(wc) > 1e-6) & (wc > 0.0)
+        & (ndc[2] >= -1.0) & (ndc[2] <= 1.0)
+        & (sun_u >= 0.0) & (sun_u <= 1.0) & (sun_v >= 0.0) & (sun_v <= 1.0)
+    )
+
+    luma = (0.2126 * src[..., 0] + 0.7152 * src[..., 1] + 0.0722 * src[..., 2]) / 255.0
+    # Sky/far pixels keep shafts: luma scaled by depth (near=0 kills them).
+    luma = luma * jnp.clip(depth01, 0.0, 1.0)
+
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] / max(1, w - 1)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] / max(1, h - 1)
+
+    accum = jnp.zeros((h, w), jnp.float32)
+    illum = 1.0
+    for i in range(steps):
+        t = i / steps
+        su = u + (sun_u - u) * (t * density)
+        sv = v + (sun_v - v) * (t * density)
+        sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
+        sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
+        accum = accum + luma[sy, sx] * (illum * weight)
+        illum = illum * decay
+
+    boost = jnp.clip(jnp.round(accum * 80.0), 0, 120)
+    out = jnp.stack([
+        src[..., 0] + boost,
+        src[..., 1] + boost,
+        src[..., 2] + jnp.floor(boost / 2),
+    ], axis=-1)
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return jnp.where(sun_valid, out, ldr_u8)
+
+
+# ---------------------------------------------------------------------------
+# Blur / bloom / fog / outline / DoF / FXAA / TAA
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel1d(radius: int, sigma: float | None = None):
+    if sigma is None:
+        sigma = max(radius * 0.5, 1e-3)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x * x) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def gaussian_blur(img, radius: int = 2, sigma: float | None = None):
+    """Separable clamped gaussian blur; float (H,W,C) in/out."""
+    k = _gaussian_kernel1d(radius, sigma)
+    img_f = img.astype(jnp.float32)
+    h, w = img_f.shape[:2]
+
+    def blur_axis(x, axis):
+        out = jnp.zeros_like(x)
+        n = x.shape[axis]
+        idx = jnp.arange(n)
+        for j, off in enumerate(range(-radius, radius + 1)):
+            sel = jnp.clip(idx + off, 0, n - 1)
+            out = out + k[j] * jnp.take(x, sel, axis=axis)
+        return out
+
+    return blur_axis(blur_axis(img_f, 0), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("blur_radius", "passes"))
+def bloom_pass(hdr, threshold: float = 1.0, intensity: float = 0.5,
+               blur_radius: int = 4, passes: int = 2):
+    """Bright-pass + iterated blur + additive combine (HelloGlowingStar /
+    composition 'bloom' post preset)."""
+    luma = 0.2126 * hdr[..., 0] + 0.7152 * hdr[..., 1] + 0.0722 * hdr[..., 2]
+    bright = jnp.where((luma > threshold)[..., None], hdr, 0.0)
+    blurred = bright
+    for _ in range(passes):
+        blurred = gaussian_blur(blurred, radius=blur_radius)
+    return hdr + blurred * intensity
+
+
+def fog_pass(hdr, depth01, fog_color=(0.55, 0.6, 0.68), fog_density: float = 1.6):
+    """Exponential depth fog (hello_multi_pass.cpp:764 fog_pass)."""
+    f = 1.0 - jnp.exp(-fog_density * jnp.clip(depth01, 0.0, 1.0))
+    fc = jnp.asarray(fog_color, jnp.float32)
+    return hdr + (fc - hdr) * f[..., None]
+
+
+def outline_pass(hdr, depth01, threshold: float = 0.003,
+                 color=(0.0, 0.0, 0.0)):
+    """Depth-discontinuity outlines (hello_multi_pass.cpp:689 outline_pass)."""
+    d = depth01
+    dx = jnp.abs(d - jnp.roll(d, 1, axis=1))
+    dy = jnp.abs(d - jnp.roll(d, 1, axis=0))
+    edge = (jnp.maximum(dx, dy) > threshold)[..., None]
+    return jnp.where(edge, jnp.asarray(color, jnp.float32), hdr)
+
+
+@functools.partial(jax.jit, static_argnames=("blur_radius", "center_frac"))
+def depth_of_field_pass(hdr, depth01, focus_depth: float = -1.0,
+                        focus_range: float = 0.08, blur_radius: int = 4,
+                        center_frac: float = 0.125):
+    """Autofocus-median DoF (hello_multi_pass.cpp:907-990): focus depth =
+    median of the center window (when focus_depth < 0), then blend sharp vs
+    blurred by circle of confusion."""
+    h, w = depth01.shape
+    ch = max(2, int(h * center_frac))
+    cw = max(2, int(w * center_frac))
+    y0 = (h - ch) // 2
+    x0 = (w - cw) // 2
+    center = jax.lax.dynamic_slice(depth01, (y0, x0), (ch, cw))
+    auto_focus = jnp.median(center)
+    focus = jnp.where(focus_depth >= 0.0, focus_depth, auto_focus)
+
+    coc = jnp.clip(jnp.abs(depth01 - focus) / jnp.maximum(focus_range, 1e-4),
+                   0.0, 1.0)
+    blurred = gaussian_blur(hdr, radius=blur_radius)
+    return hdr + (blurred - hdr) * coc[..., None]
+
+
+@jax.jit
+def fxaa_pass(ldr_u8, contrast_threshold: float = 0.0312,
+              relative_threshold: float = 0.125):
+    """Luma-based FXAA on the LDR image (hello_multi_pass.cpp:1000)."""
+    src = ldr_u8.astype(jnp.float32) / 255.0
+    luma = 0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+
+    def sh(dx, dy):
+        return jnp.roll(jnp.roll(luma, dy, axis=0), dx, axis=1)
+
+    n, s, e, w_ = sh(0, -1), sh(0, 1), sh(1, 0), sh(-1, 0)
+    lmax = jnp.maximum(jnp.maximum(jnp.maximum(n, s), jnp.maximum(e, w_)), luma)
+    lmin = jnp.minimum(jnp.minimum(jnp.minimum(n, s), jnp.minimum(e, w_)), luma)
+    contrast = lmax - lmin
+    thresh = jnp.maximum(contrast_threshold, relative_threshold * lmax)
+    active = contrast >= thresh
+
+    ne, nw, se, sw = sh(1, -1), sh(-1, -1), sh(1, 1), sh(-1, 1)
+    blend_l = (2.0 * (n + s + e + w_) + ne + nw + se + sw) / 12.0
+    f = jnp.clip(jnp.abs(blend_l - luma) / jnp.maximum(contrast, 1e-5), 0.0, 1.0)
+    f = f * f * (3.0 - 2.0 * f)
+
+    horiz = (jnp.abs(n + s - 2 * luma) * 2.0 +
+             jnp.abs(ne + se - 2 * e) + jnp.abs(nw + sw - 2 * w_)) >= \
+            (jnp.abs(e + w_ - 2 * luma) * 2.0 +
+             jnp.abs(ne + nw - 2 * n) + jnp.abs(se + sw - 2 * s))
+    pos_l = jnp.where(horiz, n, e)
+    neg_l = jnp.where(horiz, s, w_)
+    pgrad = jnp.abs(pos_l - luma)
+    ngrad = jnp.abs(neg_l - luma)
+    step_pos = pgrad >= ngrad
+    neighbor = jnp.where(
+        (step_pos & horiz)[..., None], jnp.roll(src, -1, axis=0),
+        jnp.where((~step_pos & horiz)[..., None], jnp.roll(src, 1, axis=0),
+                  jnp.where((step_pos & ~horiz)[..., None],
+                            jnp.roll(src, 1, axis=1),
+                            jnp.roll(src, -1, axis=1))))
+    out = src + (neighbor - src) * (f * active)[..., None]
+    return quantize_u8(out)
+
+
+@jax.jit
+def taa_pass(hdr, history, velocity, blend: float = 0.1,
+             clamp_neighborhood: bool = True):
+    """Temporal AA: reproject history by velocity, clamp to the 3x3
+    neighborhood, exponential blend.  Returns (resolved, new_history)."""
+    h, w = hdr.shape[:2]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    px = jnp.clip(jnp.round(xs - velocity[..., 0]), 0, w - 1).astype(jnp.int32)
+    py = jnp.clip(jnp.round(ys - velocity[..., 1]), 0, h - 1).astype(jnp.int32)
+    hist = history[py, px]
+
+    if clamp_neighborhood:
+        cmin = hdr
+        cmax = hdr
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = jnp.roll(jnp.roll(hdr, dy, axis=0), dx, axis=1)
+                cmin = jnp.minimum(cmin, nb)
+                cmax = jnp.maximum(cmax, nb)
+        hist = jnp.clip(hist, cmin, cmax)
+
+    resolved = hist + (hdr - hist) * blend
+    return resolved, resolved

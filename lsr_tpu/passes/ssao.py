@@ -1,0 +1,51 @@
+"""Screen-space ambient occlusion (the fp_stress_ssao.comp / pass-adapter
+ssao equivalent): hemisphere depth-comparison AO from the G-buffer.
+
+Fixed spiral sample pattern (deterministic), depth-range-checked occlusion,
+simple 3x3 box smooth.  Returns (H, W) AO in [0, 1] (1 = unoccluded).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _spiral_offsets(samples: int, radius_px: float):
+    a = np.arange(samples, dtype=np.float32)
+    ang = a * 2.399963  # golden angle
+    r = radius_px * np.sqrt((a + 0.5) / samples)
+    return np.stack([np.cos(ang) * r, np.sin(ang) * r], -1).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("samples", "radius_px"))
+def ssao_pass(gb, zn, zf, samples: int = 12, radius_px: float = 8.0,
+              strength: float = 1.0, depth_bias: float = 0.002,
+              depth_range: float = 0.02):
+    depth = gb.depth01
+    h, w = depth.shape
+    offsets = _spiral_offsets(samples, radius_px)
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    occ = jnp.zeros((h, w), jnp.float32)
+    for i in range(samples):
+        sx = jnp.clip(jnp.round(xs + offsets[i, 0]), 0, w - 1).astype(jnp.int32)
+        sy = jnp.clip(jnp.round(ys + offsets[i, 1]), 0, h - 1).astype(jnp.int32)
+        sd = depth[sy, sx]
+        nearer = sd < depth - depth_bias
+        in_range = (depth - sd) < depth_range
+        occ = occ + (nearer & in_range).astype(jnp.float32)
+    ao = 1.0 - strength * occ / samples
+
+    # 3x3 smooth.
+    acc = jnp.zeros_like(ao)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = acc + jnp.roll(jnp.roll(ao, dy, axis=0), dx, axis=1)
+    ao = acc / 9.0
+    return jnp.where(gb.covered, jnp.clip(ao, 0.0, 1.0), 1.0)

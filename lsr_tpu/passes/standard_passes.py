@@ -1,0 +1,533 @@
+"""Standard render passes: the reference's 17 pass adapters as real passes.
+
+Wires the compute building blocks (raster kernels, light binning, shading,
+post stack) into the pluggable pipeline (pipeline/pass_adapters.hpp:356-1409
+analog).  Frame state is a dict of named device values; scene inputs are
+provided under "geom"/"objects"/"lights"/"shade_ctx"/"camera".
+
+Pass ids and contracts follow pass_id.hpp / pass_contract_registry.hpp so the
+recipe compiler + planner validate real chains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from lsr_tpu.core.frame import FrameParams, LightCullingMode, TechniqueMode
+from lsr_tpu.pipeline.contracts import STANDARD_CONTRACTS
+from lsr_tpu.pipeline.registry import PassDescriptor, PassFactoryRegistry
+from lsr_tpu.pipeline.render_pass import RenderPass
+
+
+def _raster(state, fp: FrameParams, depth_only: bool = False):
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct, rasterize_tiled
+
+    geom = state["geom"]
+    objects = state["objects"]
+    cam = state["camera"]
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, fp.width, fp.height,
+        cull_mode=fp.cull_mode, obj_visible=objects.visible,
+    )
+    # The listless kernel needs the packed setup resident in VMEM; fall back
+    # to the binned kernel for very large scenes.
+    if setup.count <= 150_000:
+        depth, tid, _ = rasterize_direct(
+            setup, fp.width, fp.height, cam.zn, cam.zf,
+            tile_h=fp.raster_tile_h, tile_w=fp.raster_tile_w,
+            chunk=fp.raster_chunk,
+        )
+    else:
+        depth, tid, _ = rasterize_tiled(
+            setup, fp.width, fp.height, cam.zn, cam.zf,
+            tile_h=fp.raster_tile_h, tile_w=fp.raster_tile_w,
+            cap=fp.raster_cap, chunk=fp.raster_chunk,
+        )
+    out = dict(state)
+    out["setup"] = setup
+    out["depth"] = depth
+    out["tid"] = tid
+    if not depth_only:
+        gb = interpolate_gbuffer(setup, depth, tid)
+        out["gbuffer"] = gb
+        if fp.enable_motion_vectors:
+            from lsr_tpu.passes.post import motion_vectors_pass
+
+            out["velocity"] = motion_vectors_pass(
+                gb, objects, cam.viewproj, cam.prev_viewproj,
+                fp.width, fp.height,
+            )
+        else:
+            out["velocity"] = jnp.zeros((fp.height, fp.width, 2), jnp.float32)
+    return out
+
+
+def _background(state, fp):
+    if "sky" in state:
+        return state["sky"]
+    return jnp.broadcast_to(
+        jnp.asarray(fp.background, jnp.float32), (fp.height, fp.width, 3)
+    )
+
+
+def _sun_shade(state, fp):
+    from lsr_tpu.shading.models import SHADING_MODELS, composite_over_background
+
+    gb = state["gbuffer"]
+    ctx = state["shade_ctx"]
+    if fp.debug_view.value != "none":
+        model = f"debug_{fp.debug_view.value}"
+    else:
+        model = fp.shading_model
+    if state.get("shadow_ctx") is not None and fp.enable_shadows:
+        ctx = dataclasses.replace(ctx, shadow=state["shadow_ctx"])
+    shaded = SHADING_MODELS[model](gb, ctx)
+    return composite_over_background(shaded, gb, _background(state, fp))
+
+
+class SkyPass(RenderPass):
+    def __init__(self):
+        super().__init__("sky", reads=("camera",), writes=("sky",),
+                         contract=STANDARD_CONTRACTS["sky"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.sky.sky_models import render_sky
+
+        cam = state["camera"]
+        sctx = state["shade_ctx"]
+        out = dict(state)
+        out["sky"] = render_sky(cam.viewproj, fp.width, fp.height,
+                                kind="procedural",
+                                sun_dir_ws=sctx.light_dir_ws)
+        return out
+
+
+class ShadowMapPass(RenderPass):
+    def __init__(self):
+        super().__init__("shadow_map", reads=("geom", "objects"),
+                         writes=("shadow_ctx",),
+                         contract=STANDARD_CONTRACTS["shadow_map"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.passes.shadow import make_sun_shadow
+
+        out = dict(state)
+        if not fp.enable_shadows:
+            out["shadow_ctx"] = None
+            return out
+        sctx = state["shade_ctx"]
+        out["shadow_ctx"] = make_sun_shadow(
+            state["geom"], state["objects"], sctx.light_dir_ws,
+            fp.pass_params.shadow,
+        )
+        return out
+
+
+class DepthPrepass(RenderPass):
+    def __init__(self):
+        super().__init__("depth_prepass", reads=("geom", "objects", "camera"),
+                         writes=("depth", "tid", "setup"),
+                         contract=STANDARD_CONTRACTS["depth_prepass"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        return _raster(state, fp, depth_only=True)
+
+
+class GBufferPass(RenderPass):
+    def __init__(self):
+        super().__init__("gbuffer", reads=("geom", "objects", "camera"),
+                         writes=("gbuffer", "depth", "tid", "velocity", "setup"),
+                         contract=STANDARD_CONTRACTS["gbuffer"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        return _raster(state, fp)
+
+
+class LightCullingPass(RenderPass):
+    def __init__(self):
+        super().__init__("light_culling",
+                         reads=("lights", "camera"),
+                         writes=("light_grid",),
+                         contract=STANDARD_CONTRACTS["light_culling"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.lighting.light_culling import (
+            cull_lights_tiled,
+            tile_depth_ranges_from_buffer,
+        )
+
+        cam = state["camera"]
+        t = fp.technique
+        tdr = None
+        if (t.light_culling == LightCullingMode.TILED_DEPTH_RANGE
+                and state.get("depth") is not None):
+            tdr = tile_depth_ranges_from_buffer(
+                state["depth"], cam.zn, cam.zf, fp.width, fp.height,
+                t.tile_size,
+            )
+        lists, counts, max_count = cull_lights_tiled(
+            state["lights"], cam.view, cam.proj, fp.width, fp.height,
+            tile_size=t.tile_size, cap=t.max_lights_per_tile,
+            tile_depth_range=tdr,
+        )
+        out = dict(state)
+        out["light_grid"] = {"lists": lists, "counts": counts,
+                             "max_count": max_count, "slices": 1}
+        return out
+
+
+class ClusterBuildPass(RenderPass):
+    """Computes cluster geometry (slice bounds); assignment happens next."""
+
+    def __init__(self):
+        super().__init__("cluster_build", reads=("camera",),
+                         writes=("cluster_geom",),
+                         contract=STANDARD_CONTRACTS["cluster_build"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.lighting.light_culling import cluster_slice_bounds
+
+        cam = state["camera"]
+        out = dict(state)
+        out["cluster_geom"] = {
+            "bounds": cluster_slice_bounds(cam.zn, cam.zf,
+                                           fp.technique.cluster_slices),
+            "slices": fp.technique.cluster_slices,
+        }
+        return out
+
+
+class ClusterLightAssignPass(RenderPass):
+    def __init__(self):
+        super().__init__("cluster_light_assign",
+                         reads=("lights", "camera", "cluster_geom"),
+                         writes=("light_grid",),
+                         contract=STANDARD_CONTRACTS["cluster_light_assign"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.lighting.light_culling import cull_lights_clustered
+
+        cam = state["camera"]
+        t = fp.technique
+        lists, counts, max_count = cull_lights_clustered(
+            state["lights"], cam.view, cam.proj, cam.zn, cam.zf,
+            fp.width, fp.height, tile_size=t.tile_size,
+            cap=t.max_lights_per_tile, slices=t.cluster_slices,
+        )
+        out = dict(state)
+        out["light_grid"] = {"lists": lists, "counts": counts,
+                             "max_count": max_count,
+                             "slices": t.cluster_slices}
+        return out
+
+
+class SsaoPass(RenderPass):
+    def __init__(self):
+        super().__init__("ssao", reads=("gbuffer", "depth"),
+                         writes=("ssao_mask",),
+                         contract=STANDARD_CONTRACTS["ssao"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.passes.ssao import ssao_pass
+
+        cam = state["camera"]
+        out = dict(state)
+        out["ssao_mask"] = ssao_pass(state["gbuffer"], cam.zn, cam.zf)
+        return out
+
+
+def _local_lights(state, fp):
+    from lsr_tpu.lighting.light_culling import view_depth_to_cluster_slice
+    from lsr_tpu.lighting.light_runtime import accumulate_local_lights
+
+    gb = state["gbuffer"]
+    cam = state["camera"]
+    sctx = state["shade_ctx"]
+    grid = state["light_grid"]
+    t = fp.technique
+    cluster = None
+    if grid["slices"] > 1:
+        view_z = cam.zn + gb.depth01 * (cam.zf - cam.zn)
+        cluster = view_depth_to_cluster_slice(view_z, cam.zn, cam.zf,
+                                              grid["slices"])
+    diff, spec = accumulate_local_lights(
+        gb.world_pos, gb.normal_ws, sctx.camera_pos, state["lights"],
+        grid["lists"], fp.width, fp.height, tile_size=t.tile_size,
+        cluster_of_pixel=cluster, slices=grid["slices"],
+    )
+    from lsr_tpu.shading.common import gather_materials, sample_texture_bilinear
+
+    mat_base, _, _, _, _, tex_id = gather_materials(sctx.materials, gb.obj_id)
+    albedo = mat_base
+    if sctx.textures is not None:
+        albedo = albedo * sample_texture_bilinear(
+            sctx.textures, tex_id, gb.uv, quads=sctx.texture_quads
+        )
+    local = jnp.maximum(albedo, 0.0) * diff + spec
+    return jnp.where(gb.covered[..., None], local, 0.0)
+
+
+class _LightingBase(RenderPass):
+    """Shared sun+ambient (+optional binned local lights, ssao) lighting."""
+
+    use_local_lights = False
+
+    def execute_resolved(self, ctx, state, fp, request):
+        hdr = _sun_shade(state, fp)
+        if self.use_local_lights and state.get("light_grid") is not None:
+            hdr = hdr + _local_lights(state, fp)
+        if state.get("ssao_mask") is not None:
+            gb = state["gbuffer"]
+            ao = state["ssao_mask"][..., None]
+            hdr = jnp.where(gb.covered[..., None], hdr * ao, hdr)
+        out = dict(state)
+        out["hdr"] = hdr
+        return out
+
+
+class ForwardPass(_LightingBase):
+    def __init__(self):
+        super().__init__("pbr_forward",
+                         reads=("geom", "objects", "camera", "shade_ctx"),
+                         writes=("hdr", "gbuffer", "depth", "velocity"),
+                         contract=STANDARD_CONTRACTS["pbr_forward"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        state = _raster(state, fp)
+        return super().execute_resolved(ctx, state, fp, request)
+
+
+class ForwardPlusPass(_LightingBase):
+    use_local_lights = True
+
+    def __init__(self):
+        super().__init__("pbr_forward_plus",
+                         reads=("geom", "objects", "camera", "shade_ctx",
+                                "light_grid"),
+                         writes=("hdr", "gbuffer", "depth", "velocity"),
+                         contract=STANDARD_CONTRACTS["pbr_forward_plus"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        state = _raster(state, fp)
+        return super().execute_resolved(ctx, state, fp, request)
+
+
+class ForwardClusteredPass(ForwardPlusPass):
+    def __init__(self):
+        _LightingBase.__init__(
+            self, "pbr_forward_clustered",
+            reads=("geom", "objects", "camera", "shade_ctx", "light_grid"),
+            writes=("hdr", "gbuffer", "depth", "velocity"),
+            contract=STANDARD_CONTRACTS["pbr_forward_clustered"])
+
+
+class DeferredLightingPass(_LightingBase):
+    use_local_lights = True
+
+    def __init__(self, pass_id="deferred_lighting"):
+        super().__init__(pass_id,
+                         reads=("gbuffer", "shade_ctx", "camera"),
+                         writes=("hdr",),
+                         contract=STANDARD_CONTRACTS[pass_id])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        if state.get("light_grid") is None:
+            # Plain deferred: bin internally (observably identical to a
+            # per-pixel all-lights loop, light volumes are an optimization).
+            state = LightCullingPass().execute_resolved(ctx, state, fp, request)
+        return super().execute_resolved(ctx, state, fp, request)
+
+
+class DeferredLightingTiledPass(DeferredLightingPass):
+    def __init__(self):
+        super().__init__("deferred_lighting_tiled")
+        self._io = dataclasses.replace(
+            self._io, reads=self._io.reads + ("light_grid",)
+        )
+
+
+class TonemapPass(RenderPass):
+    def __init__(self):
+        super().__init__("tonemap", reads=("hdr",), writes=("ldr",),
+                         contract=STANDARD_CONTRACTS["tonemap"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.passes.tonemap import tonemap_pass
+
+        out = dict(state)
+        out["ldr"] = tonemap_pass(
+            state["hdr"], exposure=fp.pass_params.tonemap.exposure,
+            gamma=fp.pass_params.tonemap.gamma,
+        )
+        return out
+
+
+class FxaaPass(RenderPass):
+    def __init__(self):
+        super().__init__("fxaa", reads=("ldr",), writes=("ldr",),
+                         contract=STANDARD_CONTRACTS["fxaa"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.passes.post import fxaa_pass
+
+        out = dict(state)
+        if fp.enable_fxaa:
+            out["ldr"] = fxaa_pass(state["ldr"])
+        return out
+
+
+class MotionBlurPass(RenderPass):
+    def __init__(self):
+        super().__init__("motion_blur", reads=("hdr", "velocity", "depth"),
+                         writes=("hdr",),
+                         contract=STANDARD_CONTRACTS["motion_blur"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        out = dict(state)
+        if not fp.enable_motion_blur:
+            return out
+        from lsr_tpu.passes.post import motion_blur_pass
+
+        p = fp.pass_params.motion_blur
+        # HDR-space variant of the LDR reference pass: quantize to u8,
+        # blur, and blend back (keeps the pass order flexible).
+        ldr = jnp.clip(state["hdr"] * 255.0, 0, 255).astype(jnp.uint8)
+        blurred = motion_blur_pass(
+            ldr, state["depth"], state["velocity"], jnp.float32(fp.dt),
+            samples=p.samples, strength=p.strength,
+            depth_reject=p.depth_reject,
+        )
+        out["hdr"] = blurred.astype(jnp.float32) / 255.0
+        return out
+
+
+class LightShaftsPass(RenderPass):
+    def __init__(self):
+        super().__init__("light_shafts", reads=("hdr", "depth"),
+                         writes=("hdr",),
+                         contract=STANDARD_CONTRACTS["light_shafts"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        out = dict(state)
+        if not fp.enable_light_shafts:
+            return out
+        from lsr_tpu.passes.post import light_shafts_pass
+
+        cam = state["camera"]
+        sctx = state["shade_ctx"]
+        p = fp.pass_params.light_shafts
+        ldr = jnp.clip(state["hdr"] * 255.0, 0, 255).astype(jnp.uint8)
+        shafted = light_shafts_pass(
+            ldr, state["depth"], sctx.camera_pos, sctx.light_dir_ws,
+            cam.viewproj, steps=p.steps, density=p.density,
+            weight=p.weight, decay=p.decay,
+        )
+        out["hdr"] = shafted.astype(jnp.float32) / 255.0
+        return out
+
+
+class DepthOfFieldPass(RenderPass):
+    def __init__(self):
+        super().__init__("depth_of_field", reads=("hdr", "depth"),
+                         writes=("hdr",),
+                         contract=STANDARD_CONTRACTS["depth_of_field"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        out = dict(state)
+        if not fp.enable_dof:
+            return out
+        from lsr_tpu.passes.post import depth_of_field_pass
+
+        p = fp.pass_params.dof
+        out["hdr"] = depth_of_field_pass(
+            state["hdr"], state["depth"], focus_depth=p.focus_depth,
+            focus_range=p.focus_range, blur_radius=p.blur_radius,
+        )
+        return out
+
+
+class BloomPass(RenderPass):
+    def __init__(self):
+        super().__init__("bloom", reads=("hdr",), writes=("hdr",),
+                         contract=STANDARD_CONTRACTS["bloom"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        out = dict(state)
+        if not fp.enable_bloom:
+            return out
+        from lsr_tpu.passes.post import bloom_pass
+
+        p = fp.pass_params.bloom
+        out["hdr"] = bloom_pass(state["hdr"], threshold=p.threshold,
+                                intensity=p.intensity,
+                                blur_radius=p.blur_passes + 1)
+        return out
+
+
+class TaaPass(RenderPass):
+    """Temporal AA with persistent history (reset via reset_history)."""
+
+    def __init__(self):
+        super().__init__("taa", reads=("hdr", "velocity"), writes=("hdr",),
+                         contract=STANDARD_CONTRACTS["taa"])
+        self._history = None
+
+    def reset_history(self):
+        self._history = None
+
+    def execute_resolved(self, ctx, state, fp, request):
+        out = dict(state)
+        if not fp.enable_taa:
+            return out
+        from lsr_tpu.passes.post import taa_pass
+
+        hist = self._history if self._history is not None else state["hdr"]
+        resolved, new_hist = taa_pass(
+            state["hdr"], hist, state["velocity"],
+            blend=fp.pass_params.taa.blend,
+        )
+        self._history = new_hist
+        out["hdr"] = resolved
+        return out
+
+
+def make_standard_registry() -> PassFactoryRegistry:
+    reg = PassFactoryRegistry()
+    fp_modes = TechniqueMode.FORWARD_PLUS | TechniqueMode.TILED_DEFERRED
+    reg.register("sky", SkyPass)
+    reg.register("shadow_map", ShadowMapPass)
+    reg.register("depth_prepass", DepthPrepass)
+    reg.register("gbuffer", GBufferPass,
+                 PassDescriptor(modes=TechniqueMode.DEFERRED
+                                | TechniqueMode.TILED_DEFERRED))
+    reg.register("light_culling", LightCullingPass,
+                 PassDescriptor(modes=fp_modes))
+    reg.register("cluster_build", ClusterBuildPass,
+                 PassDescriptor(modes=TechniqueMode.CLUSTERED_FORWARD))
+    reg.register("cluster_light_assign", ClusterLightAssignPass,
+                 PassDescriptor(modes=TechniqueMode.CLUSTERED_FORWARD))
+    reg.register("ssao", SsaoPass)
+    reg.register("pbr_forward", ForwardPass,
+                 PassDescriptor(modes=TechniqueMode.FORWARD))
+    reg.register("pbr_forward_plus", ForwardPlusPass,
+                 PassDescriptor(modes=TechniqueMode.FORWARD_PLUS))
+    reg.register("pbr_forward_clustered", ForwardClusteredPass,
+                 PassDescriptor(modes=TechniqueMode.CLUSTERED_FORWARD))
+    reg.register("deferred_lighting", DeferredLightingPass,
+                 PassDescriptor(modes=TechniqueMode.DEFERRED))
+    reg.register("deferred_lighting_tiled", DeferredLightingTiledPass,
+                 PassDescriptor(modes=TechniqueMode.TILED_DEFERRED))
+    reg.register("tonemap", TonemapPass)
+    reg.register("fxaa", FxaaPass)
+    reg.register("motion_blur", MotionBlurPass)
+    reg.register("light_shafts", LightShaftsPass)
+    reg.register("depth_of_field", DepthOfFieldPass)
+    reg.register("bloom", BloomPass)
+    reg.register("taa", TaaPass)
+    return reg

@@ -63,8 +63,14 @@ def vertex_stage(positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
     models: (O, 4, 4); normal_mats: (O, 3, 3); viewproj: (4, 4).
     Returns (world (V,3), clip (V,4), normal_ws (V,3)).
     """
-    m = models[vtx_obj]            # (V, 4, 4)
-    nm = normal_mats[vtx_obj]      # (V, 3, 3)
+    # ONE packed per-vertex gather (model 16 + normal-matrix 9 floats) —
+    # separate (V,4,4)/(V,3,3) gathers are per-row-overhead bound on TPU.
+    o = models.shape[0]
+    xf = jnp.concatenate(
+        [models.reshape(o, 16), normal_mats.reshape(o, 9)], axis=-1
+    )[vtx_obj]                                   # (V, 25)
+    m = xf[:, :16].reshape(-1, 4, 4)
+    nm = xf[:, 16:25].reshape(-1, 3, 3)
     hom = jnp.concatenate(
         [positions, jnp.ones((positions.shape[0], 1), positions.dtype)], axis=-1
     )

@@ -165,7 +165,7 @@ def _raster_kernel(
 
         def live(carry):
             depth, tid = carry
-            base = ci * chunk
+            base = pl.multiple_of(ci * chunk, chunk)
             blk = setup_ref[0, pl.ds(base, chunk), :]  # (chunk, 16)
 
             def f(j):
@@ -203,14 +203,289 @@ def _raster_kernel(
             tid = jnp.where(upd, win_tid.astype(jnp.int32), tid)
             return depth, tid
 
-        return jax.lax.cond(ci * chunk < count, live, lambda c: c, carry)
+        return live(carry)
 
-    n_chunks = cap // chunk
+    # Dynamic trip count: tiles only pay for their actual triangle load
+    # (the padded cap would otherwise cost cap/chunk iterations per tile).
+    n_chunks = jnp.minimum(pl.cdiv(count, chunk), cap // chunk)
     depth, tid = jax.lax.fori_loop(
         0, n_chunks, chunk_body, (depth_in[:, :], tid_in[:, :])
     )
     depth_out[:, :] = depth
     tid_out[:, :] = tid
+
+
+# ---------------------------------------------------------------------------
+# Direct (listless) kernel: full setup in VMEM + 2-level bbox rejection
+# ---------------------------------------------------------------------------
+#
+# Per-triangle binning costs a (tiles x N) scatter (~120ms at 50K tris on
+# v5e).  The direct strategy removes it: the whole packed setup (N x 16 f32)
+# sits in VMEM, triangles are grouped into chunks (8) and supers (256), and
+# each tile walks only the supers whose bbox overlaps it (super lists are
+# tiny: a (tiles x S) mask with S ~ N/256, so the scatter is ~1000x smaller).
+# Traversal order is ascending triangle id, preserving the reference's
+# first-submitted depth tie rule.
+
+_SUPER = 256  # triangles per super-chunk
+
+
+def _chunk_bboxes(setup: TriSetup, n_pad: int, chunk: int):
+    """(n_pad/chunk, 4) f32 chunk bboxes (x0,y0,x1,y1); empty for invalid."""
+    big = jnp.float32(1e9)
+    bb = setup.bbox.astype(jnp.float32)
+    x0 = jnp.where(setup.valid, bb[:, 0], big)
+    y0 = jnp.where(setup.valid, bb[:, 1], big)
+    x1 = jnp.where(setup.valid, bb[:, 2], -big)
+    y1 = jnp.where(setup.valid, bb[:, 3], -big)
+
+    def padto(x, fill):
+        pad = n_pad - x.shape[0]
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+    x0 = padto(x0, big).reshape(-1, chunk).min(axis=1)
+    y0 = padto(y0, big).reshape(-1, chunk).min(axis=1)
+    x1 = padto(x1, -big).reshape(-1, chunk).max(axis=1)
+    y1 = padto(y1, -big).reshape(-1, chunk).max(axis=1)
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def _super_lists(chunk_bb, chunk: int, tiles_x: int, tiles_y: int,
+                 tile_w: int, tile_h: int, scap: int, y_offset):
+    """Per-tile overlapping-super lists from chunk bboxes.
+
+    Returns (lists (tiles, scap) i32 -1 pad, counts (tiles,), max_count)."""
+    cps = _SUPER // chunk
+    s = chunk_bb.shape[0] // cps
+    sb = chunk_bb.reshape(s, cps, 4)
+    sx0 = sb[..., 0].min(axis=1)
+    sy0 = sb[..., 1].min(axis=1) - y_offset
+    sx1 = sb[..., 2].max(axis=1)
+    sy1 = sb[..., 3].max(axis=1) - y_offset
+
+    tx = jnp.arange(tiles_x, dtype=jnp.float32) * tile_w
+    ty = jnp.arange(tiles_y, dtype=jnp.float32) * tile_h
+    ox = (sx0[None, :] <= tx[:, None] + (tile_w - 1)) & (sx1[None, :] >= tx[:, None])
+    oy = (sy0[None, :] <= ty[:, None] + (tile_h - 1)) & (sy1[None, :] >= ty[:, None])
+    mask = (oy[:, None, :] & ox[None, :, :]).reshape(tiles_y * tiles_x, s)
+
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    keep = mask & (pos < scap)
+    base = (jnp.arange(tiles_y * tiles_x, dtype=jnp.int32) * scap)[:, None]
+    flat = jnp.where(keep, base + pos, tiles_y * tiles_x * scap)
+    ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], mask.shape)
+    lists = jnp.full((tiles_y * tiles_x * scap,), -1, jnp.int32)
+    lists = lists.at[flat.reshape(-1)].set(ids.reshape(-1), mode="drop")
+    return lists.reshape(-1, scap), jnp.minimum(counts, scap), counts.max()
+
+
+def _direct_kernel(
+    counts_ref,  # (num_tiles,) i32 scalar-prefetch: supers per tile
+    slist_ref,   # (num_tiles * scap,) i32 scalar-prefetch: super lists
+    z_ref,       # (1, 128) f32: zn, inv_range, y_offset, max_py
+    rec_ref,     # (n_pad, 16) f32 VMEM: FULL packed setup (resident)
+    cbb_ref,     # (n_chunks, 4) f32 VMEM: chunk bboxes
+    depth_in, tid_in, depth_out, tid_out,
+    *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
+):
+    tyi = pl.program_id(0)
+    txi = pl.program_id(1)
+    x0 = (txi * tile_w).astype(jnp.float32)
+    y0 = (tyi * tile_h).astype(jnp.float32) + z_ref[0, 2]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px = x0 + col + 0.5
+    py = y0 + row + 0.5
+    ndc_ok = (px <= float(width - 1)) & (py <= z_ref[0, 3])
+    pxb = px[None]
+    pyb = py[None]
+
+    zn = z_ref[0, 0]
+    inv_range = z_ref[0, 1]
+    n_sup = counts_ref[tyi * tiles_x + txi]
+
+    tile_xmin = x0
+    tile_xmax = x0 + (tile_w - 1)
+    tile_ymin = y0
+    tile_ymax = y0 + (tile_h - 1)
+
+    kids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0).astype(jnp.float32)
+    big = jnp.float32(1e9)
+    cps = _SUPER // chunk
+
+    def process_chunk(c, carry):
+        depth, tid = carry
+        base = pl.multiple_of(c * chunk, chunk)
+        blk = rec_ref[pl.ds(base, chunk), :]
+
+        def f(j):
+            return blk[:, j].reshape(chunk, 1, 1)
+
+        bc0 = f(0) * pxb + f(1) * pyb + f(2)
+        bc1 = f(3) * pxb + f(4) * pyb + f(5)
+        bc2 = f(6) * pxb + f(7) * pyb + f(8)
+        tidv = f(15)
+        inside = (
+            (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
+            & (tidv >= 0.0) & ndc_ok[None]
+        )
+        denom = bc0 * f(9) + bc1 * f(10) + bc2 * f(11)
+        inside &= denom > 1e-10
+        if depth_mode == DEPTH_VIEWZ:
+            view_z = 1.0 / jnp.maximum(denom, 1e-10)
+            z01 = jnp.clip((view_z - zn) * inv_range, 0.0, 1.0)
+        else:
+            zlin = (bc0 * f(12) + bc1 * f(13) + bc2 * f(14)) / jnp.maximum(
+                denom, 1e-10
+            )
+            z01 = jnp.clip(zlin * 0.5 + 0.5, 0.0, 1.0)
+
+        cand = jnp.where(inside, z01, 2.0)
+        best = jnp.min(cand, axis=0)
+        isbest = cand == best[None]
+        win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
+        win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big), axis=0)
+        upd = best < depth
+        depth = jnp.where(upd, best, depth)
+        tid = jnp.where(upd, win_tid.astype(jnp.int32), tid)
+        return depth, tid
+
+    t_lin = tyi * tiles_x + txi
+
+    def sup_body(i, carry):
+        s = slist_ref[t_lin * scap + i]
+
+        def chunk_body(j, carry):
+            c = s * cps + j
+            bx0 = cbb_ref[c, 0]
+            by0 = cbb_ref[c, 1]
+            bx1 = cbb_ref[c, 2]
+            by1 = cbb_ref[c, 3]
+            hit = (
+                (bx0 <= tile_xmax) & (bx1 >= tile_xmin)
+                & (by0 <= tile_ymax) & (by1 >= tile_ymin)
+            )
+            return jax.lax.cond(hit, lambda cc: process_chunk(c, cc),
+                                lambda cc: cc, carry)
+
+        return jax.lax.fori_loop(0, cps, chunk_body, carry)
+
+    depth, tid = jax.lax.fori_loop(
+        0, n_sup, sup_body, (depth_in[:, :], tid_in[:, :])
+    )
+    depth_out[:, :] = depth
+    tid_out[:, :] = tid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "depth_mode", "tile_h", "tile_w", "chunk",
+        "scap", "interpret",
+    ),
+)
+def rasterize_direct(
+    setup: TriSetup,
+    width: int,
+    height: int,
+    zn,
+    zf,
+    depth_init=None,
+    tid_init=None,
+    depth_mode: int = DEPTH_VIEWZ,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    chunk: int = 8,
+    scap: int = 128,
+    interpret: bool | None = None,
+    y_offset=0,
+    full_height: int | None = None,
+):
+    """Listless tiled rasterization (preferred for scenes <= ~150K post-clip
+    triangles; the packed setup must fit in VMEM).
+
+    Returns (depth01, tid, max_supers_per_tile) — if max_supers exceeds
+    `scap`, super lists overflowed and scap must be raised.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    if full_height is None:
+        full_height = height
+    tiles_x = _cdiv(width, tile_w)
+    tiles_y = _cdiv(height, tile_h)
+    num_tiles = tiles_x * tiles_y
+    ph, pw = tiles_y * tile_h, tiles_x * tile_w
+
+    n = setup.coef.shape[0]
+    n_pad = _cdiv(n, _SUPER) * _SUPER
+
+    tid_f = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.float32), -1.0)
+    rec = jnp.concatenate(
+        [setup.coef, setup.iw, setup.ziw, tid_f[:, None]], axis=-1
+    )
+    rec = jnp.pad(rec, ((0, n_pad - n), (0, 0)))
+    rec = rec.at[n:, 15].set(-1.0) if n_pad > n else rec
+
+    chunk_bb = _chunk_bboxes(setup, n_pad, chunk)
+    slists, counts, max_sup = _super_lists(
+        chunk_bb, chunk, tiles_x, tiles_y, tile_w, tile_h, scap,
+        jnp.asarray(y_offset, jnp.float32),
+    )
+
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    if tid_init is None:
+        tid_init = jnp.full((height, width), -1, jnp.int32)
+    dpad = jnp.pad(depth_init, ((0, ph - height), (0, pw - width)),
+                   constant_values=1.0)
+    tpad = jnp.pad(tid_init, ((0, ph - height), (0, pw - width)),
+                   constant_values=-1)
+
+    zparams = jnp.zeros((1, 128), jnp.float32)
+    zparams = (
+        zparams.at[0, 0].set(zn)
+        .at[0, 1].set(1.0 / jnp.maximum(zf - zn, 1e-6))
+        .at[0, 2].set(jnp.asarray(y_offset, jnp.float32))
+        .at[0, 3].set(jnp.float32(full_height - 1))
+    )
+
+    kern = functools.partial(
+        _direct_kernel,
+        width=width, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+        depth_mode=depth_mode, tiles_x=tiles_x, scap=scap,
+    )
+    tile_block = lambda: pl.BlockSpec(  # noqa: E731
+        (tile_h, tile_w), lambda i, j, c, s: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, j, c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 16), lambda i, j, c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // chunk, 4), lambda i, j, c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_block(),
+            tile_block(),
+        ],
+        out_specs=(tile_block(), tile_block()),
+    )
+    depth, tid = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+        ),
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(counts, slists.reshape(-1), zparams, rec, chunk_bb, dpad, tpad)
+
+    return depth[:height, :width], tid[:height, :width], max_sup
 
 
 # ---------------------------------------------------------------------------

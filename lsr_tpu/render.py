@@ -90,7 +90,12 @@ def render_forward(
         models, normal_mats, viewproj, width, height,
     )
     if use_tiled:
-        depth, tid, _ = rasterize_tiled(setup, width, height, zn, zf, cap=cap)
+        from lsr_tpu.raster.tiled import rasterize_direct
+
+        if setup.count <= 150_000:
+            depth, tid, _ = rasterize_direct(setup, width, height, zn, zf)
+        else:
+            depth, tid, _ = rasterize_tiled(setup, width, height, zn, zf, cap=cap)
     else:
         depth, tid = rasterize_brute(setup, width, height, zn, zf)
     gb = interpolate_gbuffer(setup, depth, tid)

@@ -47,13 +47,17 @@ def make_materials(
         emissive = jnp.zeros((o, 3), jnp.float32)
     if tex_id is None:
         tex_id = jnp.full((o,), -1, jnp.int32)
+
+    def bcast(x, dt=jnp.float32):
+        return jnp.broadcast_to(jnp.asarray(x, dt), (o,))
+
     return MaterialsSoA(
         base_color=base_color,
-        metallic=jnp.asarray(metallic, jnp.float32),
-        roughness=jnp.asarray(roughness, jnp.float32),
-        ao=jnp.asarray(ao, jnp.float32),
-        emissive=jnp.asarray(emissive, jnp.float32),
-        tex_id=jnp.asarray(tex_id, jnp.int32),
+        metallic=bcast(metallic),
+        roughness=bcast(roughness),
+        ao=bcast(ao),
+        emissive=jnp.broadcast_to(jnp.asarray(emissive, jnp.float32), (o, 3)),
+        tex_id=bcast(tex_id, jnp.int32),
     )
 
 
@@ -61,7 +65,51 @@ def _norm(v, eps=1e-12):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def sample_texture_bilinear(textures, tex_id, uv):
+def pack_material_records(m: MaterialsSoA):
+    """(O, 16) packed record: one wide per-pixel gather beats per-column
+    gathers by ~10x on TPU.  Layout: [0:3] base_color | [3] metallic |
+    [4] roughness | [5] ao | [6:9] emissive | [9] tex_id | [10:16] pad."""
+    o = m.base_color.shape[0]
+    return jnp.concatenate(
+        [
+            m.base_color,
+            m.metallic[:, None], m.roughness[:, None], m.ao[:, None],
+            m.emissive,
+            m.tex_id.astype(jnp.float32)[:, None],
+            jnp.zeros((o, 6), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def gather_materials(m: MaterialsSoA, obj_id):
+    """Per-pixel material fields via one packed gather.
+
+    Returns (base_color, metallic, roughness, ao, emissive, tex_id)."""
+    rec = pack_material_records(m)[jnp.maximum(obj_id, 0)]
+    return (
+        rec[..., 0:3],
+        rec[..., 3:4],
+        rec[..., 4:5],
+        rec[..., 5:6],
+        rec[..., 6:9],
+        rec[..., 9].astype(jnp.int32),
+    )
+
+
+def pack_texture_quads(textures):
+    """(NT, TH, TW, 3) -> (NT*TH*TW, 12): each texel row holds its 2x2
+    clamped neighborhood [c00 c10 c01 c11], so bilinear sampling needs ONE
+    row gather instead of four (TPU gathers are per-row-overhead bound)."""
+    nt, th, tw, _ = textures.shape
+    right = jnp.concatenate([textures[:, :, 1:], textures[:, :, -1:]], axis=2)
+    down = jnp.concatenate([textures[:, 1:], textures[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    quads = jnp.concatenate([textures, right, down, down_right], axis=-1)
+    return quads.reshape(nt * th * tw, 12)
+
+
+def sample_texture_bilinear(textures, tex_id, uv, quads=None):
     """Bilinear, repeat-wrapped texture sampling over a texture array.
 
     textures: (NT, TH, TW, 3) f32 LINEAR texels (sRGB decode happens at
@@ -69,6 +117,7 @@ def sample_texture_bilinear(textures, tex_id, uv):
     (builtin_shaders.hpp:47-54), which is numerically identical).
     tex_id: (H, W) i32 (-1 = none -> white).
     uv: (H, W, 2).
+    quads: optional pack_texture_quads(textures) for the fast one-gather path.
     Returns (H, W, 3).
     """
     nt, th, tw, _ = textures.shape
@@ -78,16 +127,21 @@ def sample_texture_bilinear(textures, tex_id, uv):
     fy = v * (th - 1)
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, tw - 1)
-    y1 = jnp.minimum(y0 + 1, th - 1)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
-
     tid = jnp.maximum(tex_id, 0)
-    c00 = textures[tid, y0, x0]
-    c10 = textures[tid, y0, x1]
-    c01 = textures[tid, y1, x0]
-    c11 = textures[tid, y1, x1]
+
+    if quads is not None:
+        flat = (tid * th + y0) * tw + x0
+        q = quads[flat]  # ONE (..., 12) gather
+        c00, c10, c01, c11 = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
+    else:
+        x1 = jnp.minimum(x0 + 1, tw - 1)
+        y1 = jnp.minimum(y0 + 1, th - 1)
+        c00 = textures[tid, y0, x0]
+        c10 = textures[tid, y0, x1]
+        c01 = textures[tid, y1, x0]
+        c11 = textures[tid, y1, x1]
     cx0 = c00 + (c10 - c00) * tx
     cx1 = c01 + (c11 - c01) * tx
     out = cx0 + (cx1 - cx0) * ty

@@ -32,7 +32,7 @@ _PI = 3.14159265358979
     jax.tree_util.register_dataclass,
     data_fields=[
         "light_dir_ws", "light_color", "light_intensity", "camera_pos",
-        "materials", "textures", "shadow",
+        "materials", "textures", "shadow", "texture_quads",
     ],
     meta_fields=[],
 )
@@ -48,6 +48,7 @@ class ShadeContext:
     materials: MaterialsSoA
     textures: jnp.ndarray | None = None     # (NT, S, S, 3) linear
     shadow: ShadowContext | None = None
+    texture_quads: jnp.ndarray | None = None  # pack_texture_quads(textures)
 
 
 def make_shade_context(
@@ -59,6 +60,8 @@ def make_shade_context(
     textures=None,
     shadow=None,
 ) -> ShadeContext:
+    from lsr_tpu.shading.common import pack_texture_quads
+
     return ShadeContext(
         light_dir_ws=jnp.asarray(light_dir_ws, jnp.float32),
         light_color=jnp.asarray(light_color, jnp.float32),
@@ -67,6 +70,7 @@ def make_shade_context(
         materials=materials,
         textures=textures,
         shadow=shadow,
+        texture_quads=None if textures is None else pack_texture_quads(textures),
     )
 
 
@@ -75,15 +79,14 @@ def _norm(v, eps=1e-12):
 
 
 def _gather_material(gb, ctx):
-    obj = jnp.maximum(gb.obj_id, 0)
-    m = ctx.materials
-    base = m.base_color[obj]        # (H, W, 3)
-    metal = m.metallic[obj][..., None]
-    rough = m.roughness[obj][..., None]
-    ao = m.ao[obj][..., None]
-    emissive = m.emissive[obj]
+    from lsr_tpu.shading.common import gather_materials
+
+    base, metal, rough, ao, emissive, tex_id = gather_materials(
+        ctx.materials, gb.obj_id
+    )
     if ctx.textures is not None:
-        tex = sample_texture_bilinear(ctx.textures, m.tex_id[obj], gb.uv)
+        tex = sample_texture_bilinear(ctx.textures, tex_id, gb.uv,
+                                      quads=ctx.texture_quads)
     else:
         tex = 1.0
     albedo = jnp.maximum(base * tex, 0.0)

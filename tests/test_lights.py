@@ -184,3 +184,75 @@ def test_forward_plus_frame():
         a = np.asarray(hdr)
         assert np.isfinite(a).all(), mode
         assert a[np.asarray(gb.covered)].mean() > 0.01, mode
+
+
+def test_pallas_fplus_kernel_matches_xla():
+    from lsr_tpu.lighting.fplus_kernel import accumulate_lights_pallas
+
+    w, h = 96, 64
+    gb, cam = _monkey_gbuffer(w, h)
+    # Mixed light types to exercise every kernel branch.
+    b = LightSetBuilder()
+    rng = np.random.default_rng(5)
+    for i in range(12):
+        p = tuple(rng.uniform([-3, 0, -3], [3, 2, 3]).tolist())
+        c = tuple(rng.uniform(0.3, 1.0, 3).tolist())
+        if i % 4 == 0:
+            b.spot(p, (0, -1, 0), color=c, intensity=2.0, range=4.0)
+        elif i % 4 == 1:
+            b.rect_area(p, (0, -1, 0), color=c, intensity=1.5, range=4.0)
+        elif i % 4 == 2:
+            b.tube_area(p, axis=(1, 0, 0), color=c, intensity=1.5, range=4.0)
+        else:
+            b.point(p, color=c, intensity=1.5, range=3.0)
+    lights = b.build()
+    eye = jnp.array([0.5, 1.5, -4.0], jnp.float32)
+
+    lists, _, _ = cull_lights_tiled(lights, cam.view, cam.proj, w, h,
+                                    tile_size=16, cap=32)
+    d_x, s_x = accumulate_local_lights(
+        gb.world_pos, gb.normal_ws, eye, lights, lists, w, h,
+        tile_size=16, chunk=8)
+    d_x = jnp.where(gb.covered[..., None], d_x, 0.0)
+    s_x = jnp.where(gb.covered[..., None], s_x, 0.0)
+
+    d_p, s_p, maxc = accumulate_lights_pallas(
+        gb.world_pos, gb.normal_ws, gb.covered, eye, lights,
+        cam.view, cam.proj, w, h, tile_h=16, tile_w=128, cap=32, chunk=8)
+    assert int(maxc) <= 32
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                               atol=3e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                               atol=3e-4, rtol=2e-3)
+
+
+def test_forward_plus_zero_lights_equals_sun_only():
+    """Regression: with no local lights, forward+ must equal plain sun shading
+    (guards against accumulator/base mixups)."""
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import (
+        SHADING_MODELS,
+        composite_over_background,
+        make_shade_context,
+    )
+
+    w, h = 96, 64
+    gb, cam = _monkey_gbuffer(w, h)
+    b = LightSetBuilder()
+    b.point((50.0, 50.0, 50.0), intensity=0.0, range=0.001)  # inert
+    lights = b.build()
+    mats = make_materials(base_color=[(0.7, 0.4, 0.2)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.3, -0.7, 0.5),
+                             camera_pos=(0.5, 1.5, -4.0), light_intensity=2.0)
+    hdr, _ = shade_forward_plus(
+        gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+        tile_size=16, cap=16, mode="tiled", sun_model="pbr_mr",
+        background=(0.1, 0.2, 0.3),
+    )
+    ref = composite_over_background(
+        SHADING_MODELS["pbr_mr"](gb, ctx), gb,
+        jnp.broadcast_to(jnp.asarray((0.1, 0.2, 0.3), jnp.float32),
+                         (h, w, 3)),
+    )
+    np.testing.assert_allclose(np.asarray(hdr), np.asarray(ref), atol=1e-5)

@@ -80,3 +80,36 @@ def test_tiled_depth_chaining():
     d_ref, _ = rasterize_brute(s_b, w, h, zn, zf, depth_init=d_ref_a)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), atol=1e-6)
     assert (np.asarray(t2) >= 0).sum() > 100
+
+
+def test_direct_matches_brute_monkey():
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    mesh = load_obj(MONKEY)
+    w, h = 160, 96
+    setup = _setup_for(mesh, np.asarray(m3.rotate_y(0.5)), w, h)
+    d_b, t_b = rasterize_brute(setup, w, h, 0.1, 100.0)
+    d_t, t_t, max_sup = rasterize_direct(
+        setup, w, h, jnp.float32(0.1), jnp.float32(100.0),
+        tile_h=16, tile_w=128,
+    )
+    assert int(max_sup) <= 128
+    mismatch = (np.asarray(t_b) != np.asarray(t_t)).sum()
+    assert mismatch == 0, f"{mismatch} tid mismatches"
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_t), atol=1e-6)
+
+
+def test_direct_band_offset():
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    mesh = load_obj(MONKEY)
+    w, h = 128, 64
+    setup = _setup_for(mesh, np.eye(4, dtype=np.float32), w, h)
+    d_f, t_f, _ = rasterize_direct(setup, w, h, jnp.float32(0.1),
+                                   jnp.float32(100.0), tile_h=16)
+    band = h // 2
+    d_b, t_b, _ = rasterize_direct(setup, w, band, jnp.float32(0.1),
+                                   jnp.float32(100.0), tile_h=16,
+                                   y_offset=band, full_height=h)
+    np.testing.assert_array_equal(np.asarray(t_f)[band:], np.asarray(t_b))
+    np.testing.assert_allclose(np.asarray(d_f)[band:], np.asarray(d_b), atol=1e-7)
