@@ -32,7 +32,7 @@ _PI = 3.14159265358979
     jax.tree_util.register_dataclass,
     data_fields=[
         "light_dir_ws", "light_color", "light_intensity", "camera_pos",
-        "materials", "textures", "shadow", "texture_quads",
+        "materials", "textures", "shadow", "texture_quads", "ibl",
     ],
     meta_fields=[],
 )
@@ -49,6 +49,7 @@ class ShadeContext:
     textures: jnp.ndarray | None = None     # (NT, S, S, 3) linear
     shadow: ShadowContext | None = None
     texture_quads: jnp.ndarray | None = None  # pack_texture_quads(textures)
+    ibl: tuple | None = None  # (irradiance_faces, (prefiltered mips...))
 
 
 def make_shade_context(
@@ -59,6 +60,7 @@ def make_shade_context(
     camera_pos=(0.0, 0.0, 0.0),
     textures=None,
     shadow=None,
+    ibl=None,
 ) -> ShadeContext:
     from lsr_tpu.shading.common import pack_texture_quads
 
@@ -71,7 +73,19 @@ def make_shade_context(
         textures=textures,
         shadow=shadow,
         texture_quads=None if textures is None else pack_texture_quads(textures),
+        ibl=ibl,
     )
+
+
+def _ambient(ctx, n, v, albedo, metal, rough, ao):
+    """Real IBL when maps are present, the fake approximation otherwise
+    (the reference's eval_fake_ibl is explicitly the no-PMREM fallback)."""
+    if ctx.ibl is not None:
+        from lsr_tpu.resources.ibl import eval_ibl
+
+        irr, pref = ctx.ibl
+        return eval_ibl(irr, list(pref), n, v, albedo, metal, rough, ao)
+    return eval_fake_ibl(n, v, albedo, metal, rough, ao)
 
 
 def _norm(v, eps=1e-12):
@@ -127,7 +141,7 @@ def shade_blinn_phong(gb, ctx: ShadeContext):
     vis = _shadow_term(gb, ctx, ndl)
     radiance = ctx.light_color[None, None, :] * ctx.light_intensity
     direct = (diffuse + spec) * radiance * vis
-    ibl = eval_fake_ibl(n, v, albedo, metal, rough, ao)
+    ibl = _ambient(ctx, n, v, albedo, metal, rough, ao)
     return direct + ibl + emissive
 
 
@@ -160,7 +174,7 @@ def shade_pbr_mr(gb, ctx: ShadeContext):
     vis = _shadow_term(gb, ctx, ndl)
     lit = (ndl > 0.0) & (ndv > 0.0)
     direct = jnp.where(lit, (diff + spec) * radiance * ndl * vis, 0.0)
-    ibl = eval_fake_ibl(n, v, albedo, metal_c, rough_c, ao)
+    ibl = _ambient(ctx, n, v, albedo, metal_c, rough_c, ao)
     return direct + ibl + emissive
 
 
