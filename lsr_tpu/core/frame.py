@@ -144,10 +144,10 @@ class FrameParams:
     technique: TechniqueParams = dataclasses.field(default_factory=TechniqueParams)
 
     # Raster kernel knobs (TPU-specific; no reference analog).
-    raster_tile_h: int = 32
+    raster_tile_h: int = 64
     raster_tile_w: int = 128
     raster_cap: int = 1024
-    raster_chunk: int = 8
+    raster_chunk: int = 16
     use_tiled_raster: bool = True
 
     background: tuple = (0.04, 0.06, 0.1)

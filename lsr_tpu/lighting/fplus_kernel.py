@@ -239,8 +239,8 @@ def accumulate_lights_pallas(
     gb_world_pos, gb_normal, gb_covered, camera_pos,
     lights, view, proj,
     width: int, height: int,
-    tile_h: int = 32, tile_w: int = 128,
-    cap: int = 256, chunk: int = 8,
+    tile_h: int = 64, tile_w: int = 128,
+    cap: int = 256, chunk: int = 16,
     tile_depth_range=None,
     interpret: bool | None = None,
 ):

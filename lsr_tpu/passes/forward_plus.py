@@ -63,12 +63,12 @@ def shade_forward_plus(
         tdr = None
         if mode == "tiled_depth_range":
             tdr = tile_depth_ranges_from_buffer(
-                gb.depth01, zn, zf, width, height, 128, tile_h=32
+                gb.depth01, zn, zf, width, height, 128, tile_h=64
             )
         diff, spec, max_count = accumulate_lights_pallas(
             gb.world_pos, gb.normal_ws, gb.covered, ctx.camera_pos,
             lights, view, proj, width, height,
-            tile_h=32, tile_w=128, cap=cap * 2, chunk=chunk,
+            tile_h=64, tile_w=128, cap=cap * 2, chunk=16,
             tile_depth_range=tdr,
         )
         counts = jnp.zeros((1,), jnp.int32)  # stats placeholder

@@ -91,11 +91,14 @@ def assemble_and_clip(clip_v, world_v, normal_v, uv_v, indices, tri_obj):
     """
     from lsr_tpu.raster.clip import clip_triangles_near
 
-    tri_clip = clip_v[indices]        # (T, 3, 4)
+    # ONE packed per-corner gather (clip 4 + world 3 + normal 3 + uv 2).
+    vrec = jnp.concatenate([clip_v, world_v, normal_v, uv_v], axis=-1)
+    crec = vrec[indices]              # (T, 3, 12)
+    tri_clip = crec[..., 0:4]
     attrs = {
-        "wp": world_v[indices],
-        "normal": normal_v[indices],
-        "uv": uv_v[indices],
+        "wp": crec[..., 4:7],
+        "normal": crec[..., 7:10],
+        "uv": crec[..., 10:12],
     }
     clip2, attrs2, valid2 = clip_triangles_near(attrs, tri_clip)
     t = indices.shape[0]

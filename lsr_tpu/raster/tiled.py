@@ -395,9 +395,9 @@ def rasterize_direct(
     depth_init=None,
     tid_init=None,
     depth_mode: int = DEPTH_VIEWZ,
-    tile_h: int = 32,
+    tile_h: int = 64,
     tile_w: int = 128,
-    chunk: int = 8,
+    chunk: int = 16,
     scap: int = 128,
     interpret: bool | None = None,
     y_offset=0,
@@ -417,6 +417,11 @@ def rasterize_direct(
     tiles_y = _cdiv(height, tile_h)
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
+
+    # Super lists live in SMEM (~1MB total on v5e); clamp the per-tile cap so
+    # counts + lists fit with headroom.  Overflow shows up in max_sup.
+    smem_int_budget = 700_000 // 4
+    scap = max(8, min(scap, (smem_int_budget - num_tiles) // num_tiles))
 
     n = setup.coef.shape[0]
     n_pad = _cdiv(n, _SUPER) * _SUPER
