@@ -15,6 +15,7 @@ import numpy as np
 from lsr_tpu.core import math3d as m3
 from lsr_tpu.io.obj import load_obj, make_plane
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 from lsr_tpu.render import concat_scene, render_forward, simple_camera
 from lsr_tpu.shading.common import checkerboard_texture, make_materials
 from lsr_tpu.shading.models import make_shade_context
@@ -56,7 +57,7 @@ def main():
     out = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "hello_blinn_phong.png")
-    save_canvas_png(path, np.asarray(ldr))
+    save_canvas_png(path, fetch_image(ldr))
     print(f"wrote {path} covered={int(np.asarray(gb.covered).sum())}")
 
 

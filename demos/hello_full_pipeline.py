@@ -18,6 +18,7 @@ from lsr_tpu.core import math3d as m3
 from lsr_tpu.core.frame import FrameParams, LightCullingMode, TechniqueMode
 from lsr_tpu.io.obj import load_obj, make_plane, make_uv_sphere
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 from lsr_tpu.lighting.light_types import LightSetBuilder
 from lsr_tpu.passes.standard_passes import make_standard_registry
 from lsr_tpu.pipeline.executor import RenderContext
@@ -114,7 +115,7 @@ def main():
              "lights": lights, "shade_ctx": ctx}
     ctx_rt = RenderContext()
     state = pipe.execute(ctx_rt, state, fp)
-    ldr = np.asarray(state["ldr"])
+    ldr = fetch_image(state["ldr"])
     out = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "hello_full_pipeline.png")

@@ -12,8 +12,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
 
-from lsr_tpu.core.color import quantize_u8
+import numpy as _np
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 from lsr_tpu.shading.procedural import PROCEDURAL_SHADERS
 
 
@@ -21,7 +22,8 @@ def main():
     w, h = 320, 320
     tiles = []
     for name, fn in PROCEDURAL_SHADERS.items():
-        img = np.asarray(quantize_u8(np.clip(np.asarray(fn(w, h, 2.0)), 0, 1)))
+        raw = np.asarray(fn(w, h, 2.0))
+        img = _np.clip(_np.floor(_np.clip(raw,0,1)*255+0.5),0,255).astype(_np.uint8)
         tiles.append(img)
         print(f"  {name}: mean={img.mean():.1f}")
     grid = np.concatenate(

@@ -17,6 +17,7 @@ from lsr_tpu.core.frame import ShadowPassParams
 from lsr_tpu.geometry.occlusion import run_occlusion_pass
 from lsr_tpu.io.obj import load_obj, make_plane
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 from lsr_tpu.passes.shadow import make_sun_shadow
 from lsr_tpu.passes.tonemap import tonemap_pass
 from lsr_tpu.raster.interp import interpolate_gbuffer
@@ -85,7 +86,7 @@ def main():
     out = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "hello_shadows.png")
-    save_canvas_png(path, np.asarray(ldr))
+    save_canvas_png(path, fetch_image(ldr))
     print(f"wrote {path} visible_objects={np.asarray(vis).tolist()}")
 
 

@@ -14,6 +14,7 @@ import numpy as np
 from lsr_tpu.core import math3d as m3
 from lsr_tpu.io.obj import load_obj, make_plane
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 from lsr_tpu.passes.tonemap import tonemap_pass
 from lsr_tpu.passes.water import mirrored_camera, shade_water
 from lsr_tpu.raster.interp import interpolate_gbuffer
@@ -84,7 +85,7 @@ def main():
     out = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "hello_water.png")
-    save_canvas_png(path, np.asarray(ldr))
+    save_canvas_png(path, fetch_image(ldr))
     print(f"wrote {path}")
 
 

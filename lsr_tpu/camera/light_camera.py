@@ -56,3 +56,19 @@ def build_dir_light_camera(scene_min, scene_max, light_dir_ws, shadow_map_size: 
     zf = vmax[2] + depth_margin
     proj = m3.ortho_lh_no(vmin_xy[0], vmax_xy[0], vmin_xy[1], vmax_xy[1], zn, zf)
     return view, proj, proj @ view
+
+
+def follow_camera_eye(target_pos, target_yaw, distance: float = 5.0,
+                      height: float = 2.0, lag: float = 1.0, prev_eye=None):
+    """Third-person follow rig (camera/ follow-camera analog): the eye sits
+    `distance` behind the target's facing direction at `height`, optionally
+    low-pass-lagged toward the previous eye (lag in [0,1], 1 = no lag)."""
+    target_pos = jnp.asarray(target_pos, jnp.float32)
+    fwd = jnp.stack([jnp.sin(target_yaw), jnp.zeros_like(target_yaw),
+                     jnp.cos(target_yaw)])
+    desired = target_pos - fwd * distance + jnp.asarray(
+        [0.0, height, 0.0], jnp.float32)
+    if prev_eye is None:
+        return desired
+    prev_eye = jnp.asarray(prev_eye, jnp.float32)
+    return prev_eye + (desired - prev_eye) * jnp.clip(lag, 0.0, 1.0)

@@ -87,3 +87,14 @@ def point_aabb_distance_sq(points, mins, maxs):
     clamped = jnp.clip(points, mins, maxs)
     d = points - clamped
     return jnp.sum(d * d, axis=-1)
+
+
+def update_visibility_history(history, visible_now, hold_frames: int = 4):
+    """Visibility hysteresis (VisibilityHistory, culling_runtime.hpp:150):
+    an object that becomes invisible stays renderable for `hold_frames`
+    frames to suppress popping from conservative culling flicker.
+
+    history: (B,) i32 frames-since-visible counters (init: hold_frames).
+    Returns (new_history, effective_visible)."""
+    new_hist = jnp.where(visible_now, 0, history + 1)
+    return new_hist, new_hist <= hold_frames

@@ -314,3 +314,67 @@ def combine_local_light(albedo, diffuse, specular):
     """Material combine used by the forward demos: albedo-modulated diffuse
     plus white specular."""
     return albedo * diffuse + specular
+
+
+# ---------------------------------------------------------------------------
+# Per-object light selection + light motion (light_runtime.hpp:537-632)
+# ---------------------------------------------------------------------------
+
+def collect_object_lights(lights: LightsSoA, obj_centers, obj_radii,
+                          cap: int = 8):
+    """Per-object candidate light lists (collect_object_lights /
+    LightSelection, light_runtime.hpp:258-289, :592): for each object keep
+    the `cap` nearest lights whose bounding spheres touch the object's
+    bounding sphere.  Returns (indices (O, cap) i32 -1-padded, counts (O,)).
+    """
+    from lsr_tpu.lighting.light_types import light_bounding_spheres
+
+    centers, radii = light_bounding_spheres(lights)
+    d = obj_centers[:, None, :] - centers[None, :, :]
+    dist2 = jnp.sum(d * d, axis=-1)                       # (O, L)
+    reach = (radii[None, :] + obj_radii[:, None])
+    touching = dist2 <= reach * reach
+    local = (lights.type != 0) & (lights.type != 5) & lights.enabled
+    mask = touching & local[None, :]
+
+    # Keep the `cap` nearest: sort keys put non-candidates at +inf.
+    key = jnp.where(mask, dist2, jnp.inf)
+    order = jnp.argsort(key, axis=1)[:, :cap]             # (O, cap)
+    picked = jnp.take_along_axis(mask, order, axis=1)
+    idx = jnp.where(picked, order.astype(jnp.int32), -1)
+    counts = picked.sum(axis=1, dtype=jnp.int32)
+    return idx, counts
+
+
+def animate_lights(lights: LightsSoA, time_s, orbit_radius=0.0,
+                   orbit_speed=1.0, orbit_axis=(0.0, 1.0, 0.0),
+                   pulse_amount=0.0, pulse_speed=2.0, phase=None):
+    """Light motion profiles (update_light_motion, light_runtime.hpp:537-590):
+    orbit positions around their anchors + intensity pulsing, vectorized over
+    the whole set.  `phase`: optional (L,) per-light phase offsets."""
+    import dataclasses as _dc
+
+    l = lights.count  # noqa: E741
+    if phase is None:
+        phase = jnp.arange(l, dtype=jnp.float32) * 0.618  # golden spread
+    t = jnp.asarray(time_s, jnp.float32)
+
+    axis = jnp.asarray(orbit_axis, jnp.float32)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-8)
+    # Orbit in the plane orthogonal to the axis.
+    ref = jnp.where(jnp.abs(axis[1]) > 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                    jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    u = jnp.cross(axis, ref)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-8)
+    v = jnp.cross(axis, u)
+    ang = t * orbit_speed + phase
+    offset = (
+        u[None, :] * jnp.cos(ang)[:, None] + v[None, :] * jnp.sin(ang)[:, None]
+    ) * orbit_radius
+    pulse = 1.0 + pulse_amount * jnp.sin(t * pulse_speed + phase)
+    return _dc.replace(
+        lights,
+        position=lights.position + offset,
+        intensity=lights.intensity * pulse,
+    )

@@ -27,7 +27,7 @@ from lsr_tpu.shading.models import SHADING_MODELS, composite_over_background
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "cap", "chunk",
-                     "mode", "slices", "sun_model"),
+                     "mode", "slices", "sun_model", "use_kernel"),
 )
 def shade_forward_plus(
     gb,

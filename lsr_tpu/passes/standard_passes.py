@@ -53,6 +53,12 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
     out["setup"] = setup
     out["depth"] = depth
     out["tid"] = tid
+    # RasterizerStats analog (rasterizer.hpp:48): input / post-clip counts
+    # (device scalars; int() them at the observability edge).
+    out["raster_stats"] = {
+        "tri_input": geom.indices.shape[0],
+        "tri_after_clip": jnp.sum(setup.valid),
+    }
     if not depth_only:
         gb = interpolate_gbuffer(setup, depth, tid)
         out["gbuffer"] = gb

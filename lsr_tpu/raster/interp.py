@@ -22,7 +22,7 @@ from lsr_tpu.raster.setup import TriSetup
     jax.tree_util.register_dataclass,
     data_fields=[
         "world_pos", "normal_ws", "uv", "depth01", "obj_id", "covered",
-        "bary", "face_normal",
+        "bary", "face_normal", "tri_id",
     ],
     meta_fields=[],
 )
@@ -38,6 +38,7 @@ class GBuffer:
     covered: jnp.ndarray      # (H, W) bool
     bary: jnp.ndarray         # (H, W, 3) perspective-corrected weights
     face_normal: jnp.ndarray  # (H, W, 3) geometric (flat) normal
+    tri_id: jnp.ndarray       # (H, W) i32 winning triangle (-1 = none)
 
 
 def pack_interp_records(setup: TriSetup):
@@ -121,4 +122,5 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0) -> GBuffer:
         covered=covered,
         bary=weights,
         face_normal=fn,
+        tri_id=tid,
     )

@@ -99,7 +99,12 @@ def render_forward(
     else:
         depth, tid = rasterize_brute(setup, width, height, zn, zf)
     gb = interpolate_gbuffer(setup, depth, tid)
-    shaded = SHADING_MODELS[model_name](gb, shade_ctx)
+    if model_name == "gouraud":
+        from lsr_tpu.shading.models import shade_gouraud
+
+        shaded = shade_gouraud(setup, gb, shade_ctx)
+    else:
+        shaded = SHADING_MODELS[model_name](gb, shade_ctx)
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), shaded.shape)
     hdr = composite_over_background(shaded, gb, bg)
     ldr = tonemap_pass(hdr, exposure=exposure, gamma=gamma)

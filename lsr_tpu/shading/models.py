@@ -228,6 +228,26 @@ def shade_gooch(gb, ctx: ShadeContext, alpha: float = 0.25, beta: float = 0.5):
     return cool + (warm - cool) * t + spec
 
 
+def shade_gouraud(setup, gb, ctx: ShadeContext, shininess: float = 24.0,
+                  ambient: float = 0.08, spec_strength: float = 0.35):
+    """True Gouraud: Blinn-Phong evaluated at the triangle CORNERS, then
+    interpolated with the pixel's perspective-correct barycentrics (the
+    hello_pipeline_gouraud_shading vertex-lighting path)."""
+    safe = jnp.maximum(gb.tri_id, 0)
+    wp_c = setup.wp[safe]  # (H, W, 3, 3)
+    nw_c = _norm(setup.nw[safe])
+    l = _norm(-ctx.light_dir_ws)[None, None, None, :]  # noqa: E741
+    v = _norm(ctx.camera_pos[None, None, None, :] - wp_c)
+    h = _norm(l + v)
+    ndl = jnp.maximum(jnp.sum(nw_c * l, -1, keepdims=True), 0.0)
+    ndh = jnp.maximum(jnp.sum(nw_c * h, -1, keepdims=True), 0.0)
+    albedo, *_ = _gather_material(gb, ctx)
+    corner = (ambient + ndl) * albedo[..., None, :] \
+        + spec_strength * jnp.power(ndh, shininess)
+    lit = jnp.sum(corner * gb.bary[..., None], axis=-2)
+    return lit * ctx.light_color * ctx.light_intensity
+
+
 def shade_oren_nayar(gb, ctx: ShadeContext, sigma: float = 0.35):
     albedo, *_ = _gather_material(gb, ctx)
     n, l, v, h, ndl = _common_vectors(gb, ctx)  # noqa: E741

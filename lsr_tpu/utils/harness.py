@@ -35,7 +35,9 @@ def write_jsonl(path: str, rows: List[dict]) -> None:
 def ldr_hash(img_u8) -> str:
     """Stable content hash of an LDR image (hash_ldr_color_buffer analog,
     hello_rendering_paths.cpp:1315)."""
-    arr = np.ascontiguousarray(np.asarray(img_u8))
+    from lsr_tpu.utils.host import fetch
+
+    arr = np.ascontiguousarray(fetch(img_u8))
     h = hashlib.blake2b(arr.tobytes(), digest_size=16)
     h.update(str(arr.shape).encode())
     return h.hexdigest()

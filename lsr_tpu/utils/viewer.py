@@ -16,11 +16,12 @@ import numpy as np
 
 from lsr_tpu.core.util import FrameClock
 from lsr_tpu.io.png import save_canvas_png
+from lsr_tpu.utils.host import fetch_image
 
 
 def ascii_preview(canvas_u8, rows: int = 28, cols: int = 76) -> str:
     """Luma ASCII art of a bottom-left-origin canvas (top row first)."""
-    img = np.asarray(canvas_u8).astype(np.float32)
+    img = fetch_image(canvas_u8).astype(np.float32)
     lum = img.mean(-1) if img.ndim == 3 else img
     h, w = lum.shape
     chars = " .:-=+*#%@"
@@ -45,7 +46,7 @@ class HeadlessViewer:
 
     def present(self, canvas_u8, frame_index: int) -> str:
         path = os.path.join(self.out_dir, f"{self.name}_{frame_index:04d}.png")
-        save_canvas_png(path, np.asarray(canvas_u8))
+        save_canvas_png(path, fetch_image(canvas_u8))
         if self.echo_ascii:
             print(ascii_preview(canvas_u8))
         return path

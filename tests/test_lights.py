@@ -256,3 +256,27 @@ def test_forward_plus_zero_lights_equals_sun_only():
                          (h, w, 3)),
     )
     np.testing.assert_allclose(np.asarray(hdr), np.asarray(ref), atol=1e-5)
+
+
+def test_collect_object_lights_and_motion():
+    from lsr_tpu.lighting.light_runtime import animate_lights, collect_object_lights
+
+    lights = _light_ring(12, radius=3.0, rng_range=2.0)
+    centers = jnp.asarray([[3.0, 0.5, 0.0], [50.0, 0.0, 0.0]], jnp.float32)
+    radii = jnp.asarray([0.5, 0.5], jnp.float32)
+    idx, counts = collect_object_lights(lights, centers, radii, cap=4)
+    assert idx.shape == (2, 4)
+    assert int(counts[0]) >= 1          # ring light at (3, .5, 0) reaches obj 0
+    assert int(counts[1]) == 0          # far object gets none
+    # Nearest light first.
+    first = int(idx[0, 0])
+    assert first >= 0
+    d = np.asarray(lights.position)[first] - np.asarray(centers[0])
+    assert np.linalg.norm(d) < 2.5
+
+    moved = animate_lights(lights, 1.5, orbit_radius=0.5, pulse_amount=0.3)
+    assert not np.allclose(np.asarray(moved.position), np.asarray(lights.position))
+    assert not np.allclose(np.asarray(moved.intensity), np.asarray(lights.intensity))
+    # Orbit preserves distance-to-anchor bound.
+    dd = np.linalg.norm(np.asarray(moved.position - lights.position), axis=-1)
+    assert np.all(dd <= 0.5 + 1e-5)

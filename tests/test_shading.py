@@ -147,3 +147,28 @@ def test_all_shading_models_run():
         assert np.isfinite(a.astype(np.float64)).all()
         cov = np.asarray(gb.covered)
         assert a[cov].std() > 0 or name == "debug_albedo", name
+
+
+def test_gouraud_interpolates_corner_lighting():
+    mesh = load_obj(MONKEY)
+    w, h = 64, 64
+    model = np.eye(4, dtype=np.float32)
+    vp, zn, zf = simple_camera(w, h, (0, 0, -3.0), (0, 0, 0))
+    batch = {k: jnp.asarray(v) for k, v in concat_scene([mesh]).items()}
+    mats = make_materials(base_color=[(0.8, 0.8, 0.8)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.3, -0.6, 0.7),
+                             camera_pos=(0, 0, -3.0), light_intensity=2.0)
+    ldr, gb = render_forward(
+        batch, jnp.asarray(model)[None], jnp.eye(3)[None], vp, zn, zf,
+        ctx, w, h, model_name="gouraud", use_tiled=False,
+    )
+    a = np.asarray(ldr)
+    cov = np.asarray(gb.covered)
+    assert a[cov].std() > 5.0  # lit with variation
+
+    # Per-pixel phong differs from per-corner gouraud (highlights sharper).
+    ldr_p, _ = render_forward(
+        batch, jnp.asarray(model)[None], jnp.eye(3)[None], vp, zn, zf,
+        ctx, w, h, model_name="phong", use_tiled=False,
+    )
+    assert (np.asarray(ldr_p) != a).any()

@@ -124,3 +124,23 @@ def test_occlusion_conservative_near_crossing():
         width=64, height=64, occluder_mask=jnp.asarray([True, False]),
     ))
     assert vis[1]
+
+
+def test_visibility_hysteresis():
+    from lsr_tpu.geometry.volumes import update_visibility_history
+
+    hist = jnp.full((3,), 10, jnp.int32)  # long-invisible
+    vis = jnp.asarray([True, False, False])
+    hist, eff = update_visibility_history(hist, vis, hold_frames=2)
+    assert np.asarray(eff).tolist() == [True, False, False]
+    # Object 1 becomes visible then flickers off: stays effective 2 frames.
+    vis2 = jnp.asarray([True, True, False])
+    hist, eff = update_visibility_history(hist, vis2, hold_frames=2)
+    assert bool(eff[1])
+    for _ in range(2):
+        hist, eff = update_visibility_history(
+            hist, jnp.asarray([True, False, False]), hold_frames=2)
+        assert bool(eff[1])  # held
+    hist, eff = update_visibility_history(
+        hist, jnp.asarray([True, False, False]), hold_frames=2)
+    assert not bool(eff[1])  # hold expired

@@ -117,6 +117,7 @@ def test_ssao_darkens_corners():
         covered=jnp.ones((h, w), bool),
         bary=jnp.zeros((h, w, 3)),
         face_normal=jnp.zeros((h, w, 3)).at[..., 1].set(1.0),
+        tri_id=jnp.zeros((h, w), jnp.int32),
     )
     ao = np.asarray(ssao_pass(gb, 0.1, 100.0))
     assert ao.min() >= 0.0 and ao.max() <= 1.0
