@@ -284,9 +284,12 @@ def _direct_kernel(
     counts_ref,  # (num_tiles,) i32 scalar-prefetch: supers per tile
     slist_ref,   # (num_tiles * scap,) i32 scalar-prefetch: super lists
     z_ref,       # (1, 128) f32: zn, inv_range, y_offset, max_py
-    rec_ref,     # (n_pad, 16) f32 VMEM: FULL packed setup (resident)
+    rec_ref,     # (n_pad, 128) f32 in HBM: packed setup, 128-lane aligned
+                 # for DMA slicing (fields in lanes 0..15)
     cbb_ref,     # (n_chunks, 4) f32 VMEM: chunk bboxes
     depth_in, tid_in, depth_out, tid_out,
+    sup_scratch,  # (_SUPER, 16) f32 VMEM scratch
+    dma_sem,      # DMA semaphore
     *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
 ):
     tyi = pl.program_id(0)
@@ -315,21 +318,41 @@ def _direct_kernel(
     big = jnp.float32(1e9)
     cps = _SUPER // chunk
 
-    def process_chunk(c, carry):
-        depth, tid = carry
-        base = pl.multiple_of(c * chunk, chunk)
-        blk = rec_ref[pl.ds(base, chunk), :]
+    # Sub-tile row blocks: a chunk only evaluates the row band its bbox
+    # overlaps (small triangles waste ~tile_area/tri_area otherwise).
+    # Each sub-block is a separate loop-carried buffer so the skip is a pure
+    # scalar cond (no slicing/concat of carried vectors, which Mosaic
+    # handles poorly).
+    n_sub = 4 if (tile_h % 32 == 0) else 1
+    sub_h = tile_h // n_sub
+
+    sub_px = []
+    sub_py = []
+    for sub in range(n_sub):
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 1)
+        row_s = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0)
+        sub_px.append((x0 + col_s.astype(jnp.float32) + 0.5)[None])
+        sub_py.append(
+            (y0 + (sub * sub_h) + row_s.astype(jnp.float32) + 0.5)[None]
+        )
+
+    def process_sub(c_local, sub, d_s, t_s):
+        base = pl.multiple_of(c_local * chunk, chunk)
+        blk = sup_scratch[pl.ds(base, chunk), :]
 
         def f(j):
             return blk[:, j].reshape(chunk, 1, 1)
 
-        bc0 = f(0) * pxb + f(1) * pyb + f(2)
-        bc1 = f(3) * pxb + f(4) * pyb + f(5)
-        bc2 = f(6) * pxb + f(7) * pyb + f(8)
+        pxs = sub_px[sub]
+        pys = sub_py[sub]
+        ndc_s = (pxs <= float(width - 1)) & (pys <= z_ref[0, 3])
+        bc0 = f(0) * pxs + f(1) * pys + f(2)
+        bc1 = f(3) * pxs + f(4) * pys + f(5)
+        bc2 = f(6) * pxs + f(7) * pys + f(8)
         tidv = f(15)
         inside = (
             (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
-            & (tidv >= 0.0) & ndc_ok[None]
+            & (tidv >= 0.0) & ndc_s
         )
         denom = bc0 * f(9) + bc1 * f(10) + bc2 * f(11)
         inside &= denom > 1e-10
@@ -347,15 +370,24 @@ def _direct_kernel(
         isbest = cand == best[None]
         win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
         win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big), axis=0)
-        upd = best < depth
-        depth = jnp.where(upd, best, depth)
-        tid = jnp.where(upd, win_tid.astype(jnp.int32), tid)
-        return depth, tid
+        upd = best < d_s
+        d_new = jnp.where(upd, best, d_s)
+        t_new = jnp.where(upd, win_tid.astype(jnp.int32), t_s)
+        return d_new, t_new
 
     t_lin = tyi * tiles_x + txi
 
     def sup_body(i, carry):
         s = slist_ref[t_lin * scap + i]
+        # Fetch this super's 256 setup rows from HBM (16KB DMA) — resident
+        # setup blocks would otherwise re-DMA the whole array per program.
+        cp = pltpu.make_async_copy(
+            rec_ref.at[pl.ds(pl.multiple_of(s * _SUPER, _SUPER), _SUPER), :],
+            sup_scratch,
+            dma_sem,
+        )
+        cp.start()
+        cp.wait()
 
         def chunk_body(j, carry):
             c = s * cps + j
@@ -363,20 +395,33 @@ def _direct_kernel(
             by0 = cbb_ref[c, 1]
             bx1 = cbb_ref[c, 2]
             by1 = cbb_ref[c, 3]
-            hit = (
-                (bx0 <= tile_xmax) & (bx1 >= tile_xmin)
-                & (by0 <= tile_ymax) & (by1 >= tile_ymin)
-            )
-            return jax.lax.cond(hit, lambda cc: process_chunk(c, cc),
-                                lambda cc: cc, carry)
+            hit_x = (bx0 <= tile_xmax) & (bx1 >= tile_xmin)
+            out = list(carry)
+            for sub in range(n_sub):
+                ylo = tile_ymin + sub * sub_h
+                yhi = ylo + (sub_h - 1)
+                hit = hit_x & (by0 <= yhi) & (by1 >= ylo)
+                out[2 * sub], out[2 * sub + 1] = jax.lax.cond(
+                    hit,
+                    lambda d, t, j=j, sub=sub: process_sub(j, sub, d, t),
+                    lambda d, t: (d, t),
+                    out[2 * sub], out[2 * sub + 1],
+                )
+            return tuple(out)
 
         return jax.lax.fori_loop(0, cps, chunk_body, carry)
 
-    depth, tid = jax.lax.fori_loop(
-        0, n_sup, sup_body, (depth_in[:, :], tid_in[:, :])
-    )
-    depth_out[:, :] = depth
-    tid_out[:, :] = tid
+    init = []
+    for sub in range(n_sub):
+        lo = sub * sub_h
+        init.append(depth_in[lo:lo + sub_h, :])
+        init.append(tid_in[lo:lo + sub_h, :])
+
+    final = jax.lax.fori_loop(0, n_sup, sup_body, tuple(init))
+    for sub in range(n_sub):
+        lo = sub * sub_h
+        depth_out[lo:lo + sub_h, :] = final[2 * sub]
+        tid_out[lo:lo + sub_h, :] = final[2 * sub + 1]
 
 
 @functools.partial(
@@ -430,7 +475,7 @@ def rasterize_direct(
     rec = jnp.concatenate(
         [setup.coef, setup.iw, setup.ziw, tid_f[:, None]], axis=-1
     )
-    rec = jnp.pad(rec, ((0, n_pad - n), (0, 0)))
+    rec = jnp.pad(rec, ((0, n_pad - n), (0, 112)))  # lane-align to 128
     rec = rec.at[n:, 15].set(-1.0) if n_pad > n else rec
 
     chunk_bb = _chunk_bboxes(setup, n_pad, chunk)
@@ -470,14 +515,17 @@ def rasterize_direct(
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, j, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 16), lambda i, j, c, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # setup stays in HBM
             pl.BlockSpec((n_pad // chunk, 4), lambda i, j, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
             tile_block(),
             tile_block(),
         ],
         out_specs=(tile_block(), tile_block()),
+        scratch_shapes=[
+            pltpu.VMEM((_SUPER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     depth, tid = pl.pallas_call(
         kern,
