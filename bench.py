@@ -106,7 +106,7 @@ def main():
         depth, tid, max_bin = rasterize_direct(
             setup, width, height, cam.zn, cam.zf
         )
-        gb = interpolate_gbuffer(setup, depth, tid)
+        gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
         hdr, stats = shade_forward_plus(
             gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf,
             width, height, tile_size=16, cap=128, mode="tiled",

@@ -52,27 +52,59 @@ def shade_forward_plus(
 
     Returns (hdr (H,W,3), light_stats dict).
     """
-    # Sun + ambient/IBL via the built-in single-light models.
-    base = SHADING_MODELS[sun_model](gb, ctx)
+    # Fused fast path: ONE Pallas kernel computes sun BRDF + binned local
+    # lights; only ambient/emissive and background composition stay in XLA.
+    if (use_kernel and mode in ("tiled", "tiled_depth_range")
+            and sun_model in ("pbr_mr", "blinn_phong")):
+        from lsr_tpu.lighting.shade_kernel import shade_fused_pallas
+        from lsr_tpu.lighting.shadow_sample import shadow_visibility_dir
+        from lsr_tpu.shading.common import gather_materials
+        from lsr_tpu.shading.models import _ambient, _norm
 
-    # Local light binning + accumulation.  The Pallas kernel path covers the
-    # tiled modes (the hot case); clustered keeps the XLA path.
-    if use_kernel and mode in ("tiled", "tiled_depth_range"):
-        from lsr_tpu.lighting.fplus_kernel import accumulate_lights_pallas
+        mat_base, metal, rough, ao, emissive, tex_id = gather_materials(
+            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None)
+        )
+        albedo = mat_base
+        if ctx.textures is not None:
+            albedo = albedo * sample_texture_bilinear(
+                ctx.textures, tex_id, gb.uv, quads=ctx.texture_quads
+            )
+        albedo = jnp.maximum(albedo, 0.0)
+
+        n = _norm(gb.normal_ws)
+        if ctx.shadow is not None:
+            l_dir = _norm(-ctx.light_dir_ws)
+            ndl = jnp.maximum(jnp.sum(n * l_dir[None, None], -1), 0.0)
+            vis = shadow_visibility_dir(ctx.shadow, gb.world_pos, ndl)
+            vis = jnp.where(ndl > 0.0, vis, 1.0)
+        else:
+            vis = jnp.ones_like(gb.depth01)
 
         tdr = None
         if mode == "tiled_depth_range":
             tdr = tile_depth_ranges_from_buffer(
                 gb.depth01, zn, zf, width, height, 128, tile_h=64
             )
-        diff, spec, max_count = accumulate_lights_pallas(
-            gb.world_pos, gb.normal_ws, gb.covered, ctx.camera_pos,
+        lit, max_count = shade_fused_pallas(
+            gb.world_pos, n, gb.covered,
+            albedo, metal[..., 0], rough[..., 0], vis,
+            ctx.camera_pos, ctx.light_dir_ws,
+            ctx.light_color * ctx.light_intensity,
             lights, view, proj, width, height,
             tile_h=64, tile_w=128, cap=cap * 2, chunk=16,
-            tile_depth_range=tdr,
+            tile_depth_range=tdr, sun_model=sun_model,
         )
-        counts = jnp.zeros((1,), jnp.int32)  # stats placeholder
-    elif mode == "clustered":
+        v = _norm(ctx.camera_pos[None, None, :] - gb.world_pos)
+        amb = _ambient(ctx, n, v, albedo, metal, rough, ao) + emissive
+        hdr = lit + jnp.where(gb.covered[..., None], amb, 0.0)
+        bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), hdr.shape)
+        hdr = composite_over_background(hdr, gb, bg)
+        return hdr, {"max_lights_per_bin": max_count, "total_bins": 0}
+
+    # Sun + ambient/IBL via the built-in single-light models.
+    base = SHADING_MODELS[sun_model](gb, ctx)
+
+    if mode == "clustered":
         lists, counts, max_count = cull_lights_clustered(
             lights, view, proj, zn, zf, width, height,
             tile_size=tile_size, cap=cap, slices=slices,
@@ -102,7 +134,8 @@ def shade_forward_plus(
     # Material combine (albedo-modulated diffuse + specular).
     from lsr_tpu.shading.common import gather_materials
 
-    mat_base, _, _, _, _, tex_id = gather_materials(ctx.materials, gb.obj_id)
+    mat_base, _, _, _, _, tex_id = gather_materials(
+        ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
     albedo = mat_base
     if ctx.textures is not None:
         albedo = albedo * sample_texture_bilinear(

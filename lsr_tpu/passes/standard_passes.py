@@ -60,7 +60,8 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
         "tri_after_clip": jnp.sum(setup.valid),
     }
     if not depth_only:
-        gb = interpolate_gbuffer(setup, depth, tid)
+        gb = interpolate_gbuffer(setup, depth, tid,
+                                 materials=state["shade_ctx"].materials)
         out["gbuffer"] = gb
         if fp.enable_motion_vectors:
             from lsr_tpu.passes.post import motion_vectors_pass
@@ -269,7 +270,8 @@ def _local_lights(state, fp):
     )
     from lsr_tpu.shading.common import gather_materials, sample_texture_bilinear
 
-    mat_base, _, _, _, _, tex_id = gather_materials(sctx.materials, gb.obj_id)
+    mat_base, _, _, _, _, tex_id = gather_materials(
+        sctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
     albedo = mat_base
     if sctx.textures is not None:
         albedo = albedo * sample_texture_bilinear(

@@ -22,7 +22,7 @@ from lsr_tpu.raster.setup import TriSetup
     jax.tree_util.register_dataclass,
     data_fields=[
         "world_pos", "normal_ws", "uv", "depth01", "obj_id", "covered",
-        "bary", "face_normal", "tri_id",
+        "bary", "face_normal", "tri_id", "mat",
     ],
     meta_fields=[],
 )
@@ -39,42 +39,53 @@ class GBuffer:
     bary: jnp.ndarray         # (H, W, 3) perspective-corrected weights
     face_normal: jnp.ndarray  # (H, W, 3) geometric (flat) normal
     tri_id: jnp.ndarray       # (H, W) i32 winning triangle (-1 = none)
+    mat: jnp.ndarray | None = None  # (H, W, 16) per-pixel material record
+                                    # (pack_material_records layout), baked
+                                    # into the interp gather when materials
+                                    # are passed to interpolate_gbuffer
 
 
-def pack_interp_records(setup: TriSetup):
-    """Pack everything the interp pass needs into ONE (N, 40) f32 record.
+def pack_interp_records(setup: TriSetup, materials=None):
+    """Pack everything the interp pass needs into ONE (N, 40|56) f32 record.
 
     TPU gathers are per-row-overhead dominated: one wide row gather is an
     order of magnitude faster than seven narrow ones (measured 7ms vs 117ms
-    for a 2M-pixel frame).
+    for a 2M-pixel frame) — so the per-object MATERIAL record is baked in
+    per triangle too when given (lanes 40:56, pack_material_records layout),
+    making the shading-time material lookup free.
 
     Layout: [0:9] coef | [9:12] iw | [12:21] wp | [21:30] nw | [30:36] uv |
-            [36] obj_id | [37:40] pad.
+            [36] obj_id | [37:40] pad | [40:56] material (optional).
     """
     n = setup.coef.shape[0]
-    return jnp.concatenate(
-        [
-            setup.coef,
-            setup.iw,
-            setup.wp.reshape(n, 9),
-            setup.nw.reshape(n, 9),
-            setup.uv.reshape(n, 6),
-            setup.obj_id.astype(jnp.float32)[:, None],
-            jnp.zeros((n, 3), jnp.float32),
-        ],
-        axis=-1,
-    )
+    cols = [
+        setup.coef,
+        setup.iw,
+        setup.wp.reshape(n, 9),
+        setup.nw.reshape(n, 9),
+        setup.uv.reshape(n, 6),
+        setup.obj_id.astype(jnp.float32)[:, None],
+        jnp.zeros((n, 3), jnp.float32),
+    ]
+    if materials is not None:
+        from lsr_tpu.shading.common import pack_material_records
+
+        cols.append(pack_material_records(materials)[setup.obj_id])
+    return jnp.concatenate(cols, axis=-1)
 
 
-def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0) -> GBuffer:
+def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0,
+                        materials=None) -> GBuffer:
     """Gather per-pixel triangle data and interpolate attributes.
 
-    y_offset: global row of this band's first row (screen-space sharding)."""
+    y_offset: global row of this band's first row (screen-space sharding).
+    materials: optional MaterialsSoA — bakes per-pixel material records into
+    the same gather (GBuffer.mat)."""
     h, w = tid.shape
     covered = tid >= 0
     safe = jnp.where(covered, tid, 0)
 
-    rec = pack_interp_records(setup)[safe]  # (H, W, 40) — ONE gather
+    rec = pack_interp_records(setup, materials)[safe]  # ONE gather
     coef = rec[..., 0:9]
     iw = rec[..., 9:12]
 
@@ -123,4 +134,5 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0) -> GBuffer:
         bary=weights,
         face_normal=fn,
         tri_id=tid,
+        mat=rec[..., 40:56] if materials is not None else None,
     )

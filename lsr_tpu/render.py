@@ -98,7 +98,7 @@ def render_forward(
             depth, tid, _ = rasterize_tiled(setup, width, height, zn, zf, cap=cap)
     else:
         depth, tid = rasterize_brute(setup, width, height, zn, zf)
-    gb = interpolate_gbuffer(setup, depth, tid)
+    gb = interpolate_gbuffer(setup, depth, tid, materials=shade_ctx.materials)
     if model_name == "gouraud":
         from lsr_tpu.shading.models import shade_gouraud
 

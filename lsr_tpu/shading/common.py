@@ -82,11 +82,13 @@ def pack_material_records(m: MaterialsSoA):
     )
 
 
-def gather_materials(m: MaterialsSoA, obj_id):
-    """Per-pixel material fields via one packed gather.
+def gather_materials(m: MaterialsSoA, obj_id, mat_rec=None):
+    """Per-pixel material fields via one packed gather (or a pre-baked
+    per-pixel record plane, e.g. GBuffer.mat).
 
     Returns (base_color, metallic, roughness, ao, emissive, tex_id)."""
-    rec = pack_material_records(m)[jnp.maximum(obj_id, 0)]
+    rec = mat_rec if mat_rec is not None \
+        else pack_material_records(m)[jnp.maximum(obj_id, 0)]
     return (
         rec[..., 0:3],
         rec[..., 3:4],

@@ -96,7 +96,7 @@ def _gather_material(gb, ctx):
     from lsr_tpu.shading.common import gather_materials
 
     base, metal, rough, ao, emissive, tex_id = gather_materials(
-        ctx.materials, gb.obj_id
+        ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None)
     )
     if ctx.textures is not None:
         tex = sample_texture_bilinear(ctx.textures, tex_id, gb.uv,
