@@ -34,20 +34,23 @@ from lsr_tpu.core.color import quantize_u8
 def motion_vectors_pass(gb, objects, viewproj, prev_viewproj, width, height,
                         max_vel: float = 96.0):
     """Per-pixel screen-space velocity in pixels (rasterizer.hpp:387-414)."""
+    # curr_to_prev = prev_model @ inverse(model) PER OBJECT (tiny O set),
+    # then one per-pixel row gather — never per-pixel matrix inverses.
+    det = jnp.linalg.det(objects.model[:, :3, :3])
+    safe = jnp.abs(det) > 1e-10
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), objects.model.shape)
+    inv_model = jnp.linalg.inv(
+        jnp.where(safe[:, None, None], objects.model, eye)
+    )
+    c2p_obj = jnp.where(safe[:, None, None],
+                        objects.prev_model @ inv_model, eye)  # (O, 4, 4)
+
     obj = jnp.maximum(gb.obj_id, 0)
-    model = objects.model[obj]          # (H, W, 4, 4)
-    prev_model = objects.prev_model[obj]
+    o = objects.model.shape[0]
+    c2p = c2p_obj.reshape(o, 16)[obj].reshape(obj.shape + (4, 4))
 
     wp = gb.world_pos
     hom = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
-    # curr_to_prev = prev_model @ inverse(model); guard degenerate dets.
-    det = jnp.linalg.det(model[..., :3, :3])
-    safe = jnp.abs(det) > 1e-10
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=wp.dtype), model.shape)
-    inv_model = jnp.linalg.inv(jnp.where(safe[..., None, None], model, eye))
-    c2p = jnp.where(safe[..., None, None],
-                    prev_model @ inv_model, eye)
-
     prev_world = jnp.einsum("hwij,hwj->hwi", c2p, hom)
     curr_clip = hom @ viewproj.T
     prev_clip = prev_world @ prev_viewproj.T
@@ -169,20 +172,38 @@ def _gaussian_kernel1d(radius: int, sigma: float | None = None):
     return k / k.sum()
 
 
+def _shift_clamped(x, off: int, axis: int):
+    """Edge-clamped shift as pad+slice (pure data movement; a jnp.take here
+    lowers to a slow gather)."""
+    if off == 0:
+        return x
+    n = x.shape[axis]
+    take = [slice(None)] * x.ndim
+    if off > 0:
+        take[axis] = slice(off, n)
+        body = x[tuple(take)]
+        edge = [slice(None)] * x.ndim
+        edge[axis] = slice(n - 1, n)
+        pads = [x[tuple(edge)]] * off
+        return jnp.concatenate([body] + pads, axis=axis)
+    take[axis] = slice(0, n + off)
+    body = x[tuple(take)]
+    edge = [slice(None)] * x.ndim
+    edge[axis] = slice(0, 1)
+    pads = [x[tuple(edge)]] * (-off)
+    return jnp.concatenate(pads + [body], axis=axis)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def gaussian_blur(img, radius: int = 2, sigma: float | None = None):
     """Separable clamped gaussian blur; float (H,W,C) in/out."""
     k = _gaussian_kernel1d(radius, sigma)
     img_f = img.astype(jnp.float32)
-    h, w = img_f.shape[:2]
 
     def blur_axis(x, axis):
         out = jnp.zeros_like(x)
-        n = x.shape[axis]
-        idx = jnp.arange(n)
         for j, off in enumerate(range(-radius, radius + 1)):
-            sel = jnp.clip(idx + off, 0, n - 1)
-            out = out + k[j] * jnp.take(x, sel, axis=axis)
+            out = out + k[j] * _shift_clamped(x, off, axis)
         return out
 
     return blur_axis(blur_axis(img_f, 0), 1)

@@ -479,15 +479,13 @@ class BloomPass(RenderPass):
 
 
 class TaaPass(RenderPass):
-    """Temporal AA with persistent history (reset via reset_history)."""
+    """Temporal AA; history lives in frame state under 'history_color'
+    (a persistent semantic — carried across frames by the pipeline), so the
+    pass stays pure and whole-plan jit works."""
 
     def __init__(self):
         super().__init__("taa", reads=("hdr", "velocity"), writes=("hdr",),
                          contract=STANDARD_CONTRACTS["taa"])
-        self._history = None
-
-    def reset_history(self):
-        self._history = None
 
     def execute_resolved(self, ctx, state, fp, request):
         out = dict(state)
@@ -495,13 +493,15 @@ class TaaPass(RenderPass):
             return out
         from lsr_tpu.passes.post import taa_pass
 
-        hist = self._history if self._history is not None else state["hdr"]
+        hist = state.get("history_color")
+        if hist is None:
+            hist = state["hdr"]
         resolved, new_hist = taa_pass(
             state["hdr"], hist, state["velocity"],
             blend=fp.pass_params.taa.blend,
         )
-        self._history = new_hist
         out["hdr"] = resolved
+        out["history_color"] = new_hist
         return out
 
 

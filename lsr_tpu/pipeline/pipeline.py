@@ -23,6 +23,8 @@ class PluggablePipeline:
         self._passes: List[RenderPass] = []
         self._plan = None
         self._dirty = True
+        self._persistent_state: dict = {}
+        self._jit_key = None
         self._default_backend = default_backend
         self._preexisting = tuple(preexisting_semantics)
         self.backend_caps = backends or {
@@ -91,9 +93,57 @@ class PluggablePipeline:
     def execute(self, ctx: RenderContext, frame_state: dict, fp) -> dict:
         plan = self.build_plan(fp)
         ctx.backends = self.backend_impls
-        return execute_plan(plan, self._passes, ctx, frame_state, fp)
+        frame_state = dict(frame_state)
+        frame_state.update(self._persistent_state)
+        out = execute_plan(plan, self._passes, ctx, frame_state, fp)
+        self._capture_persistent(out)
+        return out
+
+    PERSISTENT_KEYS = ("history_color",)
+
+    def execute_jitted(self, ctx: RenderContext, frame_state: dict, fp) -> dict:
+        """Whole-plan jit: every pass traces into ONE compiled program.
+
+        This is the production frame path (eager pass glue costs ~ms per op
+        through a remote device).  Per-pass timings are unavailable inside a
+        fused program — use execute() for the instrumented path.  Passes must
+        be pure (they are; temporal state lives in frame state).
+        """
+        import jax
+
+        plan = self.build_plan(fp)
+        if not plan.ok:
+            raise RuntimeError(f"refusing to execute invalid plan: {plan.errors}")
+        key = (tuple(plan.order), id(fp))
+        if getattr(self, "_jit_key", None) != key:
+            passes = self._passes
+
+            def run(state):
+                for idx in plan.order:
+                    p = passes[idx]
+                    req = p.build_execution_request(ctx, state, fp)
+                    if not req.valid:
+                        continue
+                    state = p.execute_resolved(ctx, state, fp, req)
+                return state
+
+            self._jitted = jax.jit(run)
+            self._jit_key = key
+        frame_state = dict(frame_state)
+        frame_state.update(self._persistent_state)
+        out = self._jitted(frame_state)
+        ctx.debug.frames += 1
+        ctx.frame_index += 1
+        self._capture_persistent(out)
+        return out
+
+    def _capture_persistent(self, state: dict):
+        for k in self.PERSISTENT_KEYS:
+            if k in state:
+                self._persistent_state[k] = state[k]
 
     # -- temporal state ---------------------------------------------------------
     def reset_history(self):
+        self._persistent_state = {}
         for p in self._passes:
             p.reset_history()

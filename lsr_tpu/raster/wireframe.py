@@ -13,6 +13,8 @@ scatter over the canvas.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,8 +62,10 @@ def render_wireframe(
     p0, p1 = p0[keep], p1[keep]
 
     canvas = jnp.broadcast_to(jnp.asarray(bg, jnp.uint8), (height, width, 3))
-    draw = jax.jit(
-        lambda c, a, b: rasterize_lines(c, a, b, jnp.asarray(color, jnp.uint8),
-                                        max_steps=width + height)
-    )
-    return draw(canvas, jnp.asarray(p0), jnp.asarray(p1))
+    return _draw_lines_jit(canvas, jnp.asarray(p0), jnp.asarray(p1),
+                           jnp.asarray(color, jnp.uint8), width + height)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _draw_lines_jit(canvas, p0, p1, color, max_steps):
+    return rasterize_lines(canvas, p0, p1, color, max_steps=max_steps)

@@ -147,3 +147,43 @@ def test_debug_views_through_pipeline():
         fp.debug_view = mode
         state = pipe.execute(RenderContext(), _scene_state(w, h), fp)
         assert np.asarray(state["ldr"]).shape == (h, w, 3)
+
+
+def test_jitted_execution_matches_eager():
+    """execute_jitted (whole-plan jit) must equal the instrumented path."""
+    w, h = 96, 64
+    reg = make_standard_registry()
+    preset = builtin_render_path_presets()[1]  # forward_plus
+    fp = FrameParams(width=w, height=h)
+    fp.technique.mode = _MODE_FOR[preset.name]
+    fp.technique.light_culling = preset.light_culling
+    fp.technique.tile_size = 16
+    fp.technique.max_lights_per_tile = 32
+    fp.pass_params.shadow.map_size = 128
+    fp.raster_tile_h = 16
+    fp.enable_taa = False
+
+    pipe = PluggablePipeline(preexisting_semantics=())
+    assert pipe.configure_from_recipe(preset, reg).ok
+
+    state = _scene_state(w, h)
+    eager = pipe.execute(RenderContext(), dict(state), fp)
+    jitted = pipe.execute_jitted(RenderContext(), dict(state), fp)
+    np.testing.assert_array_equal(np.asarray(eager["ldr"]),
+                                  np.asarray(jitted["ldr"]))
+
+    # TAA history persists across jitted frames via pipeline state.
+    fp.enable_taa = True
+    fp.enable_motion_vectors = True
+    pipe2 = PluggablePipeline(preexisting_semantics=())
+    from lsr_tpu.pipeline.recipe import RenderPathRecipe, compile_recipe
+
+    r = RenderPathRecipe(name="taa", technique=fp.technique.mode,
+                         light_culling=fp.technique.light_culling,
+                         shadows=False, post_stack=("taa",))
+    assert pipe2.configure_from_recipe(r, reg).ok
+    out1 = pipe2.execute_jitted(RenderContext(), dict(state), fp)
+    assert "history_color" in out1
+    out2 = pipe2.execute_jitted(RenderContext(), dict(state), fp)
+    assert np.isfinite(np.asarray(out2["ldr"]).astype(np.float64)).all()
+    pipe2.reset_history()
