@@ -25,7 +25,8 @@ def build_scene():
     import jax.numpy as jnp
 
     from lsr_tpu.core import math3d as m3
-    from lsr_tpu.io.obj import load_obj, make_plane
+    from lsr_tpu.io.fast_obj import load_obj_fast as load_obj
+    from lsr_tpu.io.obj import make_plane
     from lsr_tpu.lighting.light_types import LightSetBuilder
     from lsr_tpu.scene.scene import SceneBuilder
     from lsr_tpu.shading.common import checkerboard_texture, make_materials
