@@ -49,9 +49,11 @@ def render_shadow_map(
     )
     one = jnp.float32(1.0)
     if use_tiled:
-        depth, _, _ = rasterize_tiled(
+        from lsr_tpu.raster.tiled import rasterize_direct
+
+        depth, _, _ = rasterize_direct(
             setup, map_size, map_size, jnp.float32(0.0), one,
-            depth_mode=DEPTH_NDC01, cap=cap,
+            depth_mode=DEPTH_NDC01, track_ids=False,
         )
     else:
         depth, _ = rasterize_brute(

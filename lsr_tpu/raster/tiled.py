@@ -288,9 +288,10 @@ def _direct_kernel(
                  # for DMA slicing (fields in lanes 0..15)
     cbb_ref,     # (n_chunks, 4) f32 VMEM: chunk bboxes
     depth_in, tid_in, depth_out, tid_out,
-    sup_scratch,  # (_SUPER, 16) f32 VMEM scratch
+    sup_scratch,  # (_SUPER, 128) f32 VMEM scratch
     dma_sem,      # DMA semaphore
     *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
+    track_ids: bool = True,
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
@@ -367,6 +368,9 @@ def _direct_kernel(
 
         cand = jnp.where(inside, z01, 2.0)
         best = jnp.min(cand, axis=0)
+        if not track_ids:
+            # Depth-only (shadow maps): pure min resolve, no winner id.
+            return jnp.minimum(best, d_s), t_s
         isbest = cand == best[None]
         win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
         win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big), axis=0)
@@ -428,7 +432,7 @@ def _direct_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "depth_mode", "tile_h", "tile_w", "chunk",
-        "scap", "interpret",
+        "scap", "interpret", "track_ids",
     ),
 )
 def rasterize_direct(
@@ -447,9 +451,12 @@ def rasterize_direct(
     interpret: bool | None = None,
     y_offset=0,
     full_height: int | None = None,
+    track_ids: bool = True,
 ):
-    """Listless tiled rasterization (preferred for scenes <= ~150K post-clip
-    triangles; the packed setup must fit in VMEM).
+    """Listless tiled rasterization.
+
+    track_ids=False skips winner-id tracking (depth-only passes like shadow
+    maps: ~25% fewer ops per triangle-pixel).
 
     Returns (depth01, tid, max_supers_per_tile) — if max_supers exceeds
     `scap`, super lists overflowed and scap must be raised.
@@ -505,6 +512,7 @@ def rasterize_direct(
         _direct_kernel,
         width=width, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
         depth_mode=depth_mode, tiles_x=tiles_x, scap=scap,
+        track_ids=track_ids,
     )
     tile_block = lambda: pl.BlockSpec(  # noqa: E731
         (tile_h, tile_w), lambda i, j, c, s: (i, j), memory_space=pltpu.VMEM
