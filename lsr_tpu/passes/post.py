@@ -326,3 +326,35 @@ def taa_pass(hdr, history, velocity, blend: float = 0.1,
 
     resolved = hist + (hdr - hist) * blend
     return resolved, resolved
+
+
+@functools.partial(jax.jit, static_argnames=("ghosts",))
+def lens_flare_pass(hdr, threshold: float = 2.0, intensity: float = 0.35,
+                    ghosts: int = 4, halo_radius: float = 0.45):
+    """Pseudo lens flare (the HelloGlowingStar demo's flare):
+    bright-pass ghosts mirrored through the screen center + a halo ring."""
+    h, w = hdr.shape[:2]
+    luma = 0.2126 * hdr[..., 0] + 0.7152 * hdr[..., 1] + 0.0722 * hdr[..., 2]
+    bright = jnp.where((luma > threshold)[..., None], hdr, 0.0)
+    bright = gaussian_blur(bright, radius=3)
+
+    # Ghosts: sample the bright pass at center-mirrored, scaled positions.
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    out = jnp.zeros_like(hdr)
+    for g in range(ghosts):
+        s = -0.4 - 0.35 * g  # mirrored, spreading scales
+        gy = jnp.clip(jnp.round(cy + (ys - cy) * s), 0, h - 1).astype(jnp.int32)
+        gx = jnp.clip(jnp.round(cx + (xs - cx) * s), 0, w - 1).astype(jnp.int32)
+        weight = intensity / (g + 1.0)
+        tint = jnp.asarray([1.0 - 0.15 * g, 0.8, 0.7 + 0.1 * g], jnp.float32)
+        out = out + bright[gy, gx] * weight * tint
+
+    # Halo: ring of bright energy at a fixed radius from center.
+    r = jnp.sqrt(((ys - cy) / h) ** 2 + ((xs - cx) / w) ** 2)
+    halo_w = jnp.exp(-((r - halo_radius) ** 2) / 0.001)[..., None]
+    halo_src = bright[(h - 1) - ys.astype(jnp.int32),
+                      (w - 1) - xs.astype(jnp.int32)]
+    out = out + halo_src * halo_w * (intensity * 0.5)
+    return hdr + out

@@ -102,10 +102,13 @@ def build_compositions(width, height):
         else:
             depth, tid = rasterize_brute(setup, width, height, c.zn, c.zf)
         gb = interpolate_gbuffer(setup, depth, tid)
+        # Both backends use the SAME light accumulation (the fused kernel)
+        # so the parity hash isolates the rasterizer difference; kernel-vs-XLA
+        # accumulation equivalence is covered by unit tests at 3e-4 tolerance
+        # (different fp op order => not hash-identical by design).
         hdr, _ = shade_forward_plus(
             gb, ctx, lights, c.view, c.proj, c.zn, c.zf, width, height,
-            tile_size=16, cap=64, mode=mode,
-            use_kernel=(backend == "pallas_direct"),
+            tile_size=16, cap=64, mode=mode, use_kernel=True,
         )
         return tonemap_pass(hdr)
 

@@ -159,3 +159,20 @@ def test_motion_vectors_from_object_motion():
     cov = np.asarray(gb.covered)
     assert vel[cov][:, 0].mean() > 1.0   # moved right -> positive x velocity
     assert np.abs(vel[~cov]).max() == 0.0  # background has no velocity
+
+
+def test_lens_flare_adds_ghosts():
+    from lsr_tpu.passes.post import lens_flare_pass
+
+    h, w = 64, 64
+    hdr = jnp.zeros((h, w, 3), jnp.float32).at[20, 20].set(
+        jnp.asarray([30.0, 30.0, 30.0]))
+    out = np.asarray(lens_flare_pass(hdr, threshold=2.0))
+    base = np.asarray(hdr)
+    added = (out - base).sum(-1)
+    assert added.max() > 0.01          # flare energy added
+    # Ghost energy appears on the far side of the center from the source.
+    assert added[40:, 40:].sum() > 0.0
+    # No flare without bright pixels.
+    out2 = np.asarray(lens_flare_pass(jnp.full((h, w, 3), 0.5), threshold=2.0))
+    np.testing.assert_allclose(out2, 0.5, atol=1e-6)
