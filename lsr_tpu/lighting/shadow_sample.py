@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["depth", "light_viewproj", "bias_const", "bias_slope", "strength"],
+    data_fields=["depth", "light_viewproj", "bias_const", "bias_slope",
+                 "strength", "depth_quads"],
     meta_fields=["pcf_radius", "pcf_step"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +35,20 @@ class ShadowContext:
     strength: jnp.ndarray        # scalar in [0,1]
     pcf_radius: int = 2          # 0 = hard
     pcf_step: int = 1            # texel step
+    depth_quads: jnp.ndarray | None = None  # (S*S, 4) 2x2-packed map
+
+
+def pack_shadow_quads(depth):
+    """(S, S) -> (S*S, 4) rows of clamped 2x2 neighborhoods [d00 d10 d01 d11].
+
+    PCF taps gather one map texel per pixel per tap; gathers from a large
+    map are ~5ms per tap per 0.5MP on this hardware, so a 5x5 PCF costs
+    >120ms.  Quad rows cover 4 taps per gather (9 gathers for 5x5)."""
+    right = jnp.concatenate([depth[:, 1:], depth[:, -1:]], axis=1)
+    down = jnp.concatenate([depth[1:], depth[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    s = depth.shape[0]
+    return jnp.stack([depth, right, down, down_right], -1).reshape(s * s, 4)
 
 
 def make_shadow_context(
@@ -45,6 +60,8 @@ def make_shadow_context(
     pcf_radius: int = 2,
     pcf_step: int = 1,
 ) -> ShadowContext:
+    quads = pack_shadow_quads(depth) if (pcf_radius > 0 and pcf_step == 1) \
+        else None
     return ShadowContext(
         depth=depth,
         light_viewproj=jnp.asarray(light_viewproj, jnp.float32),
@@ -53,6 +70,7 @@ def make_shadow_context(
         strength=jnp.float32(strength),
         pcf_radius=int(pcf_radius),
         pcf_step=int(pcf_step),
+        depth_quads=quads,
     )
 
 
@@ -90,6 +108,32 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
 
     if r == 0:
         vis = (z_test <= fetch(0, 0)).astype(jnp.float32)
+    elif shadow.depth_quads is not None and step == 1:
+        # Quad path: (2r+2)^2 window covered by ceil((2r+2)/2)^2 quad rows.
+        # Quads are clamp-packed, so anchors must stay in [0, S-2] and every
+        # needed tap is addressed relative to an in-range anchor.
+        lit = jnp.zeros_like(z_test)
+        taps = 0
+        n_anchor = r + 1  # anchors at offsets -r, -r+2, ..., covering -r..r+1
+        for qy in range(n_anchor):
+            for qx in range(n_anchor):
+                ax = jnp.clip(cx - r + 2 * qx, 0, sw - 2)
+                ay = jnp.clip(cy - r + 2 * qy, 0, sh - 2)
+                quad = shadow.depth_quads[ay * sw + ax]  # (..., 4)
+                for dy in range(2):
+                    for dx in range(2):
+                        oy = -r + 2 * qy + dy
+                        ox = -r + 2 * qx + dx
+                        if abs(oy) > r or abs(ox) > r:
+                            continue
+                        # Clamp semantics: the reference clamps the TAP
+                        # coordinate; the quad anchor clamp already pins
+                        # border taps to edge texels.
+                        lit = lit + (
+                            z_test <= quad[..., dy * 2 + dx]
+                        ).astype(jnp.float32)
+                        taps += 1
+        vis = lit / float(taps)
     else:
         lit = jnp.zeros_like(z_test)
         for oy in range(-r, r + 1):

@@ -144,3 +144,26 @@ def test_visibility_hysteresis():
     hist, eff = update_visibility_history(
         hist, jnp.asarray([True, False, False]), hold_frames=2)
     assert not bool(eff[1])  # hold expired
+
+
+def test_pcf_quad_path_matches_naive():
+    import dataclasses
+    from lsr_tpu.lighting.shadow_sample import make_shadow_context
+
+    geom, objects = _shadow_scene()
+    ctx_quad = make_sun_shadow(geom, objects, jnp.asarray(SUN, jnp.float32),
+                               ShadowPassParams(map_size=256, pcf_radius=2))
+    assert ctx_quad.depth_quads is not None
+    ctx_naive = dataclasses.replace(ctx_quad, depth_quads=None)
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform([-2.5, -1.0, -2.5], [2.5, 1.5, 2.5],
+                                  (1, 2048, 3)).astype(np.float32))
+    ndl = jnp.ones((1, 2048), jnp.float32)
+    v_q = np.asarray(shadow_visibility_dir(ctx_quad, pts, ndl))
+    v_n = np.asarray(shadow_visibility_dir(ctx_naive, pts, ndl))
+    # Identical except where the 5x5 window crosses the map border
+    # (anchor-clamp vs per-tap-clamp); must be rare and small.
+    diff = np.abs(v_q - v_n)
+    assert (diff > 1e-6).mean() < 0.02
+    assert diff.max() <= 4.0 / 25.0 + 1e-6
