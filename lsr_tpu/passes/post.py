@@ -89,15 +89,19 @@ def motion_blur_pass(ldr_u8, depth01, velocity, dt,
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
 
+    # Color + depth packed per texel: ONE row gather per tap instead of two.
+    packed = jnp.concatenate([src, depth01[..., None]], -1).reshape(h * w, 4)
+
     acc = jnp.zeros((h, w, 3), jnp.float32)
     cnt = jnp.zeros((h, w), jnp.float32)
     for i in range(samples):
         t = i / (samples - 1) - 0.5
         sx = jnp.clip(jnp.round(xs + v[..., 0] * t), 0, w - 1).astype(jnp.int32)
         sy = jnp.clip(jnp.round(ys + v[..., 1] * t), 0, h - 1).astype(jnp.int32)
-        sd = depth01[sy, sx]
+        row = packed[sy * w + sx]
+        sd = row[..., 3]
         take = jnp.abs(sd - depth01) <= depth_reject
-        acc = acc + jnp.where(take[..., None], src[sy, sx], 0.0)
+        acc = acc + jnp.where(take[..., None], row[..., :3], 0.0)
         cnt = cnt + take.astype(jnp.float32)
 
     ok = (cnt >= 1.0) & (ln >= min_velocity_px)

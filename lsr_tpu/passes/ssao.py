@@ -29,14 +29,15 @@ def ssao_pass(gb, zn, zf, samples: int = 12, radius_px: float = 8.0,
     h, w = depth.shape
     offsets = _spiral_offsets(samples, radius_px)
 
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    # Offsets are the SAME for every pixel: each tap is an edge-clamped
+    # SHIFT (pad+slice), never a gather.
+    from lsr_tpu.passes.post import _shift_clamped
 
     occ = jnp.zeros((h, w), jnp.float32)
     for i in range(samples):
-        sx = jnp.clip(jnp.round(xs + offsets[i, 0]), 0, w - 1).astype(jnp.int32)
-        sy = jnp.clip(jnp.round(ys + offsets[i, 1]), 0, h - 1).astype(jnp.int32)
-        sd = depth[sy, sx]
+        ox = int(round(float(offsets[i, 0])))
+        oy = int(round(float(offsets[i, 1])))
+        sd = _shift_clamped(_shift_clamped(depth, oy, 0), ox, 1)
         nearer = sd < depth - depth_bias
         in_range = (depth - sd) < depth_range
         occ = occ + (nearer & in_range).astype(jnp.float32)
