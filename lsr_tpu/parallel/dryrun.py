@@ -1,0 +1,103 @@
+"""Self-contained multi-chip dryrun, runnable as `python -m lsr_tpu.parallel.dryrun N`.
+
+The driver validates multi-chip sharding without N real chips by forcing N
+virtual CPU devices (the reference's analog is its fake-device test pattern,
+vop_core_tests.cpp:21).  This module sets the XLA host-platform flags BEFORE
+importing jax, so it works regardless of what backend the parent process has
+already initialized — `__graft_entry__.dryrun_multichip` invokes it as a
+subprocess when the current process can't see enough devices.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _force_virtual_devices(n: int) -> None:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The environment may pre-import jax at interpreter startup
+    # (sitecustomize) and register a remote TPU plugin; backends initialize
+    # lazily, so forcing the platform through jax.config before the first
+    # device query still wins (same pattern as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # CPU compiles are fast; a shared on-disk cache written by a different
+    # machine type trips XLA:CPU AOT feature checks (SIGILL risk) — skip it.
+    jax.config.update("jax_compilation_cache_dir", None)
+
+
+def run_dryrun(n_devices: int) -> None:
+    """Jit the full render step over an n-device ("dp","sp") mesh and run one
+    step on tiny shapes (dp = camera batch, sp = framebuffer row bands).
+
+    Requires that jax can already see >= n_devices devices (call
+    _force_virtual_devices first if not).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsr_tpu.core import math3d as m3
+    from lsr_tpu.io.obj import make_cube
+    from lsr_tpu.parallel.sharding import make_mesh, make_sharded_render
+    from lsr_tpu.scene.scene import SceneBuilder, make_camera
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    width, height = 128, 64
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert height % sp == 0
+
+    sb = SceneBuilder()
+    sb.add(make_cube(1.2), np.asarray(m3.rotate_y(0.4) @ m3.rotate_x(0.2)))
+    geom, objects = sb.build()
+    mats = make_materials(base_color=[(0.8, 0.5, 0.3)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.4, -0.7, 0.5),
+                             camera_pos=(0, 0.5, -3.0), light_intensity=2.0)
+
+    step = make_sharded_render(mesh, geom, objects, ctx, width, height,
+                               cap=256)
+    cams = [
+        make_camera(width, height, (np.sin(a) * -3.0, 0.5, np.cos(a) * -3.0),
+                    (0, 0, 0))
+        for a in np.linspace(0.0, 0.5, dp)
+    ]
+    vps = jnp.stack([c.viewproj for c in cams])
+    out = jax.block_until_ready(step(vps, cams[0].zn, cams[0].zf))
+    assert out.shape == (dp, height, width, 3), out.shape
+    out_np = np.asarray(out)
+    assert out_np.any(), "sharded render produced an empty image"
+
+    # dp x sp output equality vs an unsharded single-device render of the
+    # same cameras: the mesh must not change the image.
+    from lsr_tpu.parallel.sharding import render_band
+
+    for b, cam in enumerate(cams):
+        ref = np.asarray(jax.jit(
+            lambda vp, zn=cam.zn, zf=cam.zf: render_band(
+                geom, objects, vp, zn, zf, ctx, width, height, height, 0,
+                cap=256)
+        )(cams[b].viewproj))
+        assert (ref == out_np[b]).all(), (
+            f"sharded output differs from single-device render (camera {b})")
+    print(f"dryrun_multichip ok: mesh dp={dp} sp={sp}, out {out.shape}, "
+          f"bit-exact vs single-device")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    _force_virtual_devices(n)
+    run_dryrun(n)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,14 @@ def make_mesh(n_devices: int, dp: int | None = None, devices=None) -> Mesh:
     if dp is None:
         dp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
     sp = n_devices // dp
+    if len(devices) < dp * sp:
+        raise ValueError(
+            f"make_mesh needs {dp * sp} devices (dp={dp} x sp={sp}) but only "
+            f"{len(devices)} are visible. For CI/dryrun, force virtual CPU "
+            "devices BEFORE importing jax: XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={dp * sp} "
+            "JAX_PLATFORMS=cpu (see lsr_tpu/parallel/dryrun.py)."
+        )
     arr = np.asarray(devices[: dp * sp]).reshape(dp, sp)
     return Mesh(arr, axis_names=("dp", "sp"))
 

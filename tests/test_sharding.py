@@ -39,7 +39,11 @@ def test_band_rendering_equals_full():
 
 
 def test_sharded_render_8_devices():
-    n = min(8, len(jax.devices()))
+    # conftest.py forces an 8-device virtual CPU platform; a silent fallback
+    # to fewer devices would validate nothing (VERDICT r1 weak #5).
+    n = 8
+    assert len(jax.devices()) >= n, (
+        "expected the forced 8-device CPU mesh from tests/conftest.py")
     geom, objects, ctx = _tiny_scene()
     w, h = 128, 64
     mesh = make_mesh(n)
