@@ -215,7 +215,9 @@ def _gather_light_columns(lights: LightsSoA, idx):
                  "intensity", "range", "inner_angle", "outer_angle",
                  "rect_half_extents", "tube_half_length", "tube_radius",
                  "atten_model", "atten_power", "atten_bias", "atten_cutoff"):
-        cols[name] = getattr(lights, name)[safe]
+        from lsr_tpu.core.gather import take_rows
+
+        cols[name] = take_rows(getattr(lights, name), safe)
     # Disable padded slots by zeroing intensity.
     cols["intensity"] = jnp.where(idx >= 0, cols["intensity"], 0.0)
     return cols

@@ -309,7 +309,9 @@ def shade_fused_pallas(
         tile_depth_range=tile_depth_range,
     )
     packed = pack_light_records(lights)
-    tile_rec = packed[jnp.maximum(lists, 0)]
+    from lsr_tpu.core.gather import take_rows
+
+    tile_rec = take_rows(packed, jnp.maximum(lists, 0))
     tile_rec = jnp.where((lists >= 0)[..., None], tile_rec, 0.0)
 
     def padp(x):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["depth", "light_viewproj", "bias_const", "bias_slope",
-                 "strength", "depth_quads"],
+                 "strength", "depth_taps"],
     meta_fields=["pcf_radius", "pcf_step"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -35,20 +35,34 @@ class ShadowContext:
     strength: jnp.ndarray        # scalar in [0,1]
     pcf_radius: int = 2          # 0 = hard
     pcf_step: int = 1            # texel step
-    depth_quads: jnp.ndarray | None = None  # (S*S, 4) 2x2-packed map
+    depth_taps: jnp.ndarray | None = None  # (S*S, (2r+1)^2) neighborhoods
 
 
-def pack_shadow_quads(depth):
-    """(S, S) -> (S*S, 4) rows of clamped 2x2 neighborhoods [d00 d10 d01 d11].
+def pack_shadow_taps(depth, radius: int):
+    """(S, S) -> (S*S, (2r+1)^2) rows: each texel's FULL clamped PCF window.
 
-    PCF taps gather one map texel per pixel per tap; gathers from a large
-    map are ~5ms per tap per 0.5MP on this hardware, so a 5x5 PCF costs
-    >120ms.  Quad rows cover 4 taps per gather (9 gathers for 5x5)."""
-    right = jnp.concatenate([depth[:, 1:], depth[:, -1:]], axis=1)
-    down = jnp.concatenate([depth[1:], depth[-1:]], axis=0)
-    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    TPU gathers are per-row-overhead bound (~3.5ns/row, nearly independent of
+    width <= 64 lanes): 25 single-texel gathers at 2MP cost ~80ms measured,
+    while ONE 25-lane gather costs ~7ms.  Packing is pure shifted copies
+    (VPU/HBM-friendly), rebuilt once per shadow-map render."""
     s = depth.shape[0]
-    return jnp.stack([depth, right, down, down_right], -1).reshape(s * s, 4)
+
+    def shifted(ox, oy):
+        x = depth
+        if oy > 0:
+            x = jnp.concatenate([x[oy:]] + [x[-1:]] * oy, axis=0)
+        elif oy < 0:
+            x = jnp.concatenate([x[:1]] * (-oy) + [x[:oy]], axis=0)
+        if ox > 0:
+            x = jnp.concatenate([x[:, ox:]] + [x[:, -1:]] * ox, axis=1)
+        elif ox < 0:
+            x = jnp.concatenate([x[:, :1]] * (-ox) + [x[:, :ox]], axis=1)
+        return x
+
+    taps = [shifted(ox, oy)
+            for oy in range(-radius, radius + 1)
+            for ox in range(-radius, radius + 1)]
+    return jnp.stack(taps, -1).reshape(s * s, len(taps))
 
 
 def make_shadow_context(
@@ -60,8 +74,8 @@ def make_shadow_context(
     pcf_radius: int = 2,
     pcf_step: int = 1,
 ) -> ShadowContext:
-    quads = pack_shadow_quads(depth) if (pcf_radius > 0 and pcf_step == 1) \
-        else None
+    taps = pack_shadow_taps(depth, pcf_radius) \
+        if (pcf_radius > 0 and pcf_step == 1) else None
     return ShadowContext(
         depth=depth,
         light_viewproj=jnp.asarray(light_viewproj, jnp.float32),
@@ -70,7 +84,7 @@ def make_shadow_context(
         strength=jnp.float32(strength),
         pcf_radius=int(pcf_radius),
         pcf_step=int(pcf_step),
-        depth_quads=quads,
+        depth_taps=taps,
     )
 
 
@@ -79,8 +93,16 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
     sm = shadow.depth
     sh, sw = sm.shape
 
-    hom = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    p = hom @ shadow.light_viewproj.T  # (H, W, 4)
+    # Lane-arithmetic projection: (H,W,4)@(4,4) dot_general is demoted to
+    # bf16 inputs by default on TPU (~0.4% uv error = ~8 texels at 2048),
+    # and explicit FMAs keep full f32 on the VPU anyway.
+    m = shadow.light_viewproj
+    px_, py_, pz_ = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+
+    def mrow(r):
+        return m[r, 0] * px_ + m[r, 1] * py_ + m[r, 2] * pz_ + m[r, 3]
+
+    p = jnp.stack([mrow(0), mrow(1), mrow(2), mrow(3)], -1)  # (H, W, 4)
     w = p[..., 3]
     w_ok = jnp.abs(w) >= 1e-8
     w_safe = jnp.where(w_ok, w, 1.0)
@@ -108,32 +130,20 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
 
     if r == 0:
         vis = (z_test <= fetch(0, 0)).astype(jnp.float32)
-    elif shadow.depth_quads is not None and step == 1:
-        # Quad path: (2r+2)^2 window covered by ceil((2r+2)/2)^2 quad rows.
-        # Quads are clamp-packed, so anchors must stay in [0, S-2] and every
-        # needed tap is addressed relative to an in-range anchor.
-        lit = jnp.zeros_like(z_test)
-        taps = 0
-        n_anchor = r + 1  # anchors at offsets -r, -r+2, ..., covering -r..r+1
-        for qy in range(n_anchor):
-            for qx in range(n_anchor):
-                ax = jnp.clip(cx - r + 2 * qx, 0, sw - 2)
-                ay = jnp.clip(cy - r + 2 * qy, 0, sh - 2)
-                quad = shadow.depth_quads[ay * sw + ax]  # (..., 4)
-                for dy in range(2):
-                    for dx in range(2):
-                        oy = -r + 2 * qy + dy
-                        ox = -r + 2 * qx + dx
-                        if abs(oy) > r or abs(ox) > r:
-                            continue
-                        # Clamp semantics: the reference clamps the TAP
-                        # coordinate; the quad anchor clamp already pins
-                        # border taps to edge texels.
-                        lit = lit + (
-                            z_test <= quad[..., dy * 2 + dx]
-                        ).astype(jnp.float32)
-                        taps += 1
-        vis = lit / float(taps)
+    elif shadow.depth_taps is not None and step == 1:
+        # Packed path: the whole (2r+1)^2 window arrives in ONE wide gather.
+        # Rows are clamp-packed (shifted copies replicate edge texels), which
+        # matches the reference's per-tap coordinate clamp exactly since the
+        # anchor (cx, cy) is always in range.
+        #
+        # take_rows keeps the gather on the fast path (flat indices + 1D
+        # table; see core/gather.py — the naive form costs ~90ms at 1080p).
+        from lsr_tpu.core.gather import take_rows
+
+        zf = z_test.reshape(-1)
+        window = take_rows(shadow.depth_taps, (cy * sw + cx).reshape(-1))
+        lit = jnp.sum((zf[:, None] <= window).astype(jnp.float32), -1)
+        vis = (lit / float(window.shape[-1])).reshape(z_test.shape)
     else:
         lit = jnp.zeros_like(z_test)
         for oy in range(-r, r + 1):

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from lsr_tpu.core.color import quantize_u8
+from lsr_tpu.core.gather import take_rows
 
 # ---------------------------------------------------------------------------
 # Motion vectors + motion blur
@@ -47,7 +48,7 @@ def motion_vectors_pass(gb, objects, viewproj, prev_viewproj, width, height,
 
     obj = jnp.maximum(gb.obj_id, 0)
     o = objects.model.shape[0]
-    c2p = c2p_obj.reshape(o, 16)[obj].reshape(obj.shape + (4, 4))
+    c2p = take_rows(c2p_obj.reshape(o, 16), obj).reshape(obj.shape + (4, 4))
 
     wp = gb.world_pos
     hom = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
@@ -98,7 +99,7 @@ def motion_blur_pass(ldr_u8, depth01, velocity, dt,
         t = i / (samples - 1) - 0.5
         sx = jnp.clip(jnp.round(xs + v[..., 0] * t), 0, w - 1).astype(jnp.int32)
         sy = jnp.clip(jnp.round(ys + v[..., 1] * t), 0, h - 1).astype(jnp.int32)
-        row = packed[sy * w + sx]
+        row = take_rows(packed, sy * w + sx)
         sd = row[..., 3]
         take = jnp.abs(sd - depth01) <= depth_reject
         acc = acc + jnp.where(take[..., None], row[..., :3], 0.0)
@@ -150,7 +151,7 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
         sv = v + (sun_v - v) * (t * density)
         sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
         sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
-        accum = accum + luma[sy, sx] * (illum * weight)
+        accum = accum + take_rows(luma.reshape(-1), sy * w + sx) * (illum * weight)
         illum = illum * decay
 
     boost = jnp.clip(jnp.round(accum * 80.0), 0, 120)
@@ -316,7 +317,7 @@ def taa_pass(hdr, history, velocity, blend: float = 0.1,
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     px = jnp.clip(jnp.round(xs - velocity[..., 0]), 0, w - 1).astype(jnp.int32)
     py = jnp.clip(jnp.round(ys - velocity[..., 1]), 0, h - 1).astype(jnp.int32)
-    hist = history[py, px]
+    hist = take_rows(history.reshape(h * w, -1), py * w + px)
 
     if clamp_neighborhood:
         cmin = hdr
@@ -353,12 +354,13 @@ def lens_flare_pass(hdr, threshold: float = 2.0, intensity: float = 0.35,
         gx = jnp.clip(jnp.round(cx + (xs - cx) * s), 0, w - 1).astype(jnp.int32)
         weight = intensity / (g + 1.0)
         tint = jnp.asarray([1.0 - 0.15 * g, 0.8, 0.7 + 0.1 * g], jnp.float32)
-        out = out + bright[gy, gx] * weight * tint
+        out = out + take_rows(bright.reshape(h * w, -1), gy * w + gx) * weight * tint
 
     # Halo: ring of bright energy at a fixed radius from center.
     r = jnp.sqrt(((ys - cy) / h) ** 2 + ((xs - cx) / w) ** 2)
     halo_w = jnp.exp(-((r - halo_radius) ** 2) / 0.001)[..., None]
-    halo_src = bright[(h - 1) - ys.astype(jnp.int32),
-                      (w - 1) - xs.astype(jnp.int32)]
+    halo_src = take_rows(
+        bright.reshape(h * w, -1),
+        ((h - 1) - ys.astype(jnp.int32)) * w + (w - 1) - xs.astype(jnp.int32))
     out = out + halo_src * halo_w * (intensity * 0.5)
     return hdr + out

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lsr_tpu.core import math3d as m3
+from lsr_tpu.core.gather import take_rows
 from lsr_tpu.shading.procedural import snoise2
 
 
@@ -63,7 +64,7 @@ def shade_water(
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     sx = jnp.clip(jnp.round(xs + nx * ripple_strength_px), 0, w - 1).astype(jnp.int32)
     sy = jnp.clip(jnp.round(ys + ny * ripple_strength_px), 0, h - 1).astype(jnp.int32)
-    refl = reflection_hdr[sy, sx]
+    refl = take_rows(reflection_hdr.reshape(h * w, -1), sy * w + sx)
 
     # Schlick Fresnel with the water normal perturbed by the ripple.
     n = gb.normal_ws + jnp.stack([nx, jnp.zeros_like(nx), ny], -1) * 0.08

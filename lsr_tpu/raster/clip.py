@@ -104,20 +104,29 @@ def clip_triangles_near(corner_attrs: dict, clip: jnp.ndarray):
     slots = jnp.asarray(_CASE_SLOTS)[case]  # (T, 4)
     counts = jnp.asarray(_CASE_COUNT)[case]  # (T,)
 
-    def emit(x):
-        gen = generators(x)  # (T, 7, A...)
-        idx = slots.reshape(slots.shape + (1,) * (gen.ndim - 2))
-        idx = jnp.broadcast_to(idx, slots.shape + gen.shape[2:])
-        poly = jnp.take_along_axis(gen, idx, axis=1)  # (T, 4, A...)
-        # Fan split: tri0 = (p0, p1, p2), tri1 = (p0, p2, p3).
-        tri0 = poly[:, (0, 1, 2)]
-        tri1 = poly[:, (0, 2, 3)]
-        return jnp.stack([tri0, tri1], axis=1)  # (T, 2, 3, A...)
+    # ONE combined per-corner record, emitted with ONE flattened row gather:
+    # take_along_axis over the generator axis lowers to element-wise gathers
+    # (~4ms each at 24K tris on the tunnel TPU); a (T*7, C)-row gather with
+    # wide lanes is ~10x cheaper, and doing it once for clip+attrs instead of
+    # per-array amortizes the row overhead further.
+    keys = list(corner_attrs.keys())
+    widths = [corner_attrs[k].shape[-1] for k in keys]
+    combined = jnp.concatenate([clip] + [corner_attrs[k] for k in keys], -1)
+    t = clip.shape[0]
+    c_width = combined.shape[-1]
+    gen = generators(combined).reshape(t * 7, c_width)
+    rows = jnp.arange(t, dtype=jnp.int32)[:, None] * 7 + slots  # (T, 4)
+    poly = gen[rows]  # (T, 4, C)
+    tri0 = poly[:, (0, 1, 2)]
+    tri1 = poly[:, (0, 2, 3)]
+    emitted = jnp.stack([tri0, tri1], axis=1)  # (T, 2, 3, C)
 
-    clip2 = emit(clip)
+    clip2 = emitted[..., :4]
     attrs2 = {}
-    for k, v in corner_attrs.items():
-        out = emit(v)
+    off = 4
+    for k, width in zip(keys, widths):
+        out = emitted[..., off:off + width]
+        off += width
         if k == "normal":
             n = jnp.linalg.norm(out, axis=-1, keepdims=True)
             out = out / jnp.maximum(n, 1e-12)

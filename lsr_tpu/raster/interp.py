@@ -85,7 +85,9 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0,
     covered = tid >= 0
     safe = jnp.where(covered, tid, 0)
 
-    rec = pack_interp_records(setup, materials)[safe]  # ONE gather
+    from lsr_tpu.core.gather import take_rows
+
+    rec = take_rows(pack_interp_records(setup, materials), safe)  # ONE gather
     coef = rec[..., 0:9]
     iw = rec[..., 9:12]
 

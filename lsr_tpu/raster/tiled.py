@@ -111,7 +111,9 @@ def pack_tile_setup(setup: TriSetup, lists):
         ],
         axis=-1,
     )                                            # (N, 16)
-    tile_rec = rec[safe]                         # (num_tiles, cap, 16)
+    from lsr_tpu.core.gather import take_rows
+
+    tile_rec = take_rows(rec, safe)              # (num_tiles, cap, 16)
     tile_rec = tile_rec.at[..., 15].set(tid_f)
     return tile_rec
 

@@ -34,11 +34,39 @@ def upload_mesh(mesh):
     )
 
 
-def concat_scene(meshes, object_of_mesh=None):
+def morton_order(mesh) -> np.ndarray:
+    """Triangle permutation sorting by Morton code of the centroid.
+
+    The tiled rasterizer walks triangles in chunks with per-chunk bbox
+    rejection (raster/tiled.py): spatially coherent chunks have tight bboxes
+    and reject far more work.  OBJ face order is only loosely local; Morton
+    order roughly halves mean chunk bbox area (measured on the monkey mesh).
+    This permutes submission order —
+    the first-wins depth tie rule then resolves ties in Morton order, which
+    is an allowed submission order (the reference imposes none)."""
+    cent = mesh.positions[mesh.indices].mean(axis=1)  # (T, 3)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    q = ((cent - lo) / span * 1023.0).astype(np.uint64)  # 10 bits per axis
+
+    def spread(v):  # interleave with 2 zero bits (standard Morton spread)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable").astype(np.int64)
+
+
+def concat_scene(meshes, object_of_mesh=None, spatial_sort=True):
     """Concatenate host meshes into one SoA batch with per-vertex object ids.
 
     meshes: list of MeshData; object_of_mesh: optional list of object indices
-    (defaults to 0..len-1).  Returns dict of numpy arrays.
+    (defaults to 0..len-1).  spatial_sort reorders each mesh's triangles into
+    Morton order (see morton_order).  Returns dict of numpy arrays.
     """
     if object_of_mesh is None:
         object_of_mesh = list(range(len(meshes)))
@@ -48,7 +76,9 @@ def concat_scene(meshes, object_of_mesh=None):
         pos.append(mesh.positions)
         nrm.append(mesh.normals)
         uv.append(mesh.uvs)
-        idx.append(mesh.indices + base)
+        tris = mesh.indices[morton_order(mesh)] if spatial_sort \
+            else mesh.indices
+        idx.append(tris + base)
         vobj.append(np.full(mesh.num_vertices, obj, np.int32))
         tobj.append(np.full(mesh.num_triangles, obj, np.int32))
         base += mesh.num_vertices

@@ -87,8 +87,10 @@ def gather_materials(m: MaterialsSoA, obj_id, mat_rec=None):
     per-pixel record plane, e.g. GBuffer.mat).
 
     Returns (base_color, metallic, roughness, ao, emissive, tex_id)."""
+    from lsr_tpu.core.gather import take_rows
+
     rec = mat_rec if mat_rec is not None \
-        else pack_material_records(m)[jnp.maximum(obj_id, 0)]
+        else take_rows(pack_material_records(m), jnp.maximum(obj_id, 0))
     return (
         rec[..., 0:3],
         rec[..., 3:4],
@@ -133,17 +135,20 @@ def sample_texture_bilinear(textures, tex_id, uv, quads=None):
     ty = (fy - y0)[..., None]
     tid = jnp.maximum(tex_id, 0)
 
+    from lsr_tpu.core.gather import take_rows
+
     if quads is not None:
         flat = (tid * th + y0) * tw + x0
-        q = quads[flat]  # ONE (..., 12) gather
+        q = take_rows(quads, flat)  # ONE (..., 12) gather
         c00, c10, c01, c11 = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
     else:
         x1 = jnp.minimum(x0 + 1, tw - 1)
         y1 = jnp.minimum(y0 + 1, th - 1)
-        c00 = textures[tid, y0, x0]
-        c10 = textures[tid, y0, x1]
-        c01 = textures[tid, y1, x0]
-        c11 = textures[tid, y1, x1]
+        texf = textures.reshape(nt * th * tw, 3)
+        c00 = take_rows(texf, (tid * th + y0) * tw + x0)
+        c10 = take_rows(texf, (tid * th + y0) * tw + x1)
+        c01 = take_rows(texf, (tid * th + y1) * tw + x0)
+        c11 = take_rows(texf, (tid * th + y1) * tw + x1)
     cx0 = c00 + (c10 - c00) * tx
     cx1 = c01 + (c11 - c01) * tx
     out = cx0 + (cx1 - cx0) * ty

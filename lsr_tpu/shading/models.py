@@ -233,9 +233,11 @@ def shade_gouraud(setup, gb, ctx: ShadeContext, shininess: float = 24.0,
     """True Gouraud: Blinn-Phong evaluated at the triangle CORNERS, then
     interpolated with the pixel's perspective-correct barycentrics (the
     hello_pipeline_gouraud_shading vertex-lighting path)."""
+    from lsr_tpu.core.gather import take_rows
+
     safe = jnp.maximum(gb.tri_id, 0)
-    wp_c = setup.wp[safe]  # (H, W, 3, 3)
-    nw_c = _norm(setup.nw[safe])
+    wp_c = take_rows(setup.wp, safe)  # (H, W, 3, 3)
+    nw_c = _norm(take_rows(setup.nw, safe))
     l = _norm(-ctx.light_dir_ws)[None, None, None, :]  # noqa: E741
     v = _norm(ctx.camera_pos[None, None, None, :] - wp_c)
     h = _norm(l + v)
@@ -271,9 +273,11 @@ def shade_oren_nayar(gb, ctx: ShadeContext, sigma: float = 0.35):
 # ---------------------------------------------------------------------------
 
 def shade_debug_albedo(gb, ctx: ShadeContext):
+    from lsr_tpu.core.gather import take_rows
+
     obj = jnp.maximum(gb.obj_id, 0)
     return jnp.broadcast_to(
-        ctx.materials.base_color[obj], gb.world_pos.shape
+        take_rows(ctx.materials.base_color, obj), gb.world_pos.shape
     )
 
 

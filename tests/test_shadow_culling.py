@@ -153,8 +153,8 @@ def test_pcf_quad_path_matches_naive():
     geom, objects = _shadow_scene()
     ctx_quad = make_sun_shadow(geom, objects, jnp.asarray(SUN, jnp.float32),
                                ShadowPassParams(map_size=256, pcf_radius=2))
-    assert ctx_quad.depth_quads is not None
-    ctx_naive = dataclasses.replace(ctx_quad, depth_quads=None)
+    assert ctx_quad.depth_taps is not None
+    ctx_naive = dataclasses.replace(ctx_quad, depth_taps=None)
 
     rng = np.random.default_rng(11)
     pts = jnp.asarray(rng.uniform([-2.5, -1.0, -2.5], [2.5, 1.5, 2.5],
