@@ -1,44 +1,35 @@
 """TPU-friendly row gathers.
 
-Measured on v5e (round-2 microbenchmarks): gathering 2M rows x 25 f32 lanes
-runs at ~0.2ms ONLY when (a) the indices are FLAT (N,) int32 and (b) the
-table is physically row-major.  Either a 2D (H, W) index array or a table
-that XLA materialized column-major ({0,1} layout — which jit freely picks
-for OUTPUTS of packing ops) degrades the same gather to ~90ms of strided
-element traffic, with multi-minute compiles when a broadcast compare
-consumes it.
+Measured on the bench workload (2M pixels x 56-lane records, real TPU,
+scripts/dbg_gather.py):
 
-take_rows() sidesteps both failure modes structurally: it flattens the
-table to 1D (one possible layout) and issues a single lax.gather with
-slice_sizes=(lanes,) — contiguous rows, flat indices — then reshapes.
-Every fullscreen gather in the framework must go through it.
+    table[flat_idx]  (flat (N,) indices, 2D table)   12 ms
+    jnp.take(table, flat_idx, axis=0)                15 ms
+    lax.gather 1D-flattened slice form             2,791 ms  (!!)
+
+The 1D-table + slice_sizes=(lanes,) formulation — superficially "layout
+proof" — lowers to a slow scalar slice loop on TPU and must never be used.
+The fast path is the ordinary row gather, fed FLAT int32 indices (2D index
+arrays can also de-optimize the lowering) and reshaped back afterwards.
+
+Layout caveat: the gather is only fast when the table is physically
+row-major.  Tables that cross a jit boundary (jit arguments) always are;
+tables packed in the same program normally are too (measured: packing fused
+with the gather is still 12 ms), but if a regression appears, check the
+dumped HLO for a `{0,1}` parameter layout first.
 """
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
-from jax import lax
 
 
 def take_rows(table, idx):
     """table[idx] for row tables, reshaped to idx.shape + table.shape[1:].
 
-    table: (R, ...) array; idx: any-shape int array of row ids.  Caller
-    guarantees indices are in range (PROMISE_IN_BOUNDS — no clamp cost).
+    table: (R, ...) array; idx: any-shape int array of row ids (caller
+    guarantees in-range; out-of-range clamps per XLA gather semantics).
     """
     flat_idx = idx.reshape(-1).astype(jnp.int32)
-    if table.ndim == 1:
-        out = table[flat_idx]
-        return out.reshape(idx.shape)
-    lanes = math.prod(table.shape[1:])
-    flat_tbl = table.reshape(table.shape[0] * lanes)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,),
-    )
-    out = lax.gather(
-        flat_tbl, (flat_idx * lanes)[:, None], dnums, slice_sizes=(lanes,),
-        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
+    out = table[flat_idx]
     return out.reshape(idx.shape + table.shape[1:])

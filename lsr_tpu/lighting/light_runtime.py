@@ -251,12 +251,18 @@ def accumulate_local_lights(
     lights: LightsSoA, tile_lists, width: int, height: int,
     tile_size: int = 16, chunk: int = 8,
     cluster_of_pixel=None, slices: int = 1,
+    shadow_vis_stack=None, light_shadow_index=None,
 ):
     """Accumulate binned local lights over the framebuffer.
 
     tile_lists: (tiles[*slices], cap) i32 light indices (-1 padded).
     cluster_of_pixel: optional (H, W) i32 cluster slice index per pixel
     (clustered mode); None = pure tiled.
+    shadow_vis_stack: optional (H, W, K+1) per-shadowed-light visibility
+    planes (lighting/local_shadows.py; channel K is the constant 1.0
+    plane); light_shadow_index: (L,) i32 channel per light.  Applied as a
+    one-hot (K+1)-wide matmul per binned light — the eval_local_shadow
+    multiply of fp_stress_scene.frag:520-521, MXU-shaped.
     Returns (diffuse (H,W,3), specular (H,W,3)).
     """
     tiles_x = -(-width // tile_size)
@@ -266,6 +272,13 @@ def accumulate_local_lights(
     wp_t = _to_tiles(gb_world_pos, tile_size, tiles_y, tiles_x)   # (T, px, 3)
     n_t = _to_tiles(gb_normal, tile_size, tiles_y, tiles_x)
     v_t = _norm(camera_pos[None, None, :] - wp_t)
+
+    vis_t = None
+    if shadow_vis_stack is not None:
+        vis_t = _to_tiles(shadow_vis_stack, tile_size, tiles_y, tiles_x)
+        # Padded framebuffer rows tile to all-zero channels; route them to
+        # the constant plane by rebuilding channel K+0..: zeros are harmless
+        # because padded pixels are cropped by _from_tiles anyway.
 
     if cluster_of_pixel is not None:
         cl_t = _to_tiles(cluster_of_pixel[..., None], tile_size, tiles_y, tiles_x)
@@ -284,7 +297,8 @@ def accumulate_local_lights(
         # Pre-gather ALL per-tile light records in ONE wide row gather
         # (per-row overhead dominates TPU gathers; see raster/interp.py).
         packed = pack_light_records(lights)
-        tile_rec = packed[jnp.maximum(lists_p, 0)]          # (T, capP, 32)
+        from lsr_tpu.core.gather import take_rows
+        tile_rec = take_rows(packed, jnp.maximum(lists_p, 0))  # (T, capP, 32)
         tile_rec = jnp.where((lists_p >= 0)[..., None], tile_rec, 0.0)
 
     def body(carry, ck):
@@ -296,11 +310,31 @@ def accumulate_local_lights(
             # (T, 1, chunk, C) broadcasts against points (T, px, 1, 3).
             cols = {k: v[:, None] for k, v in cols.items()}
             d, s = eval_local_lights(cols, wp_t, n_t, v_t)
+            if vis_t is not None:
+                ids = jax.lax.dynamic_slice_in_dim(
+                    lists_p, ck * chunk, chunk, axis=1)       # (T, chunk)
+                sidx = take_rows(light_shadow_index, jnp.maximum(ids, 0))
+                kp1 = vis_t.shape[-1]
+                onehot = (sidx[..., None]
+                          == jnp.arange(kp1)[None, None, :]).astype(
+                              jnp.float32)                    # (T, chunk, K+1)
+                vis = jnp.einsum("tpk,tck->tpc", vis_t, onehot)
+                d = d * vis[..., None]
+                s = s * vis[..., None]
         else:
             rows = jax.lax.dynamic_slice_in_dim(lists_p, ck * chunk, chunk, axis=1)
             idx = rows[list_idx]  # (T, px, chunk)
             cols = _gather_light_columns(lights, idx)
             d, s = eval_local_lights(cols, wp_t, n_t, v_t)
+            if vis_t is not None:
+                sidx = take_rows(light_shadow_index, jnp.maximum(idx, 0))
+                kp1 = vis_t.shape[-1]
+                onehot = (sidx[..., None]
+                          == jnp.arange(kp1)[None, None, None, :]).astype(
+                              jnp.float32)                # (T, px, chunk, K+1)
+                vis = jnp.sum(vis_t[:, :, None, :] * onehot, -1)
+                d = d * vis[..., None]
+                s = s * vis[..., None]
         return (diff + d.sum(-2), spec + s.sum(-2)), None
 
     zero = jnp.zeros((tiles_y * tiles_x, px, 3), jnp.float32)

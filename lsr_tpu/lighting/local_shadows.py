@@ -1,0 +1,345 @@
+"""Local light shadows: spot maps + point cube faces + area proxies.
+
+The TPU-native equivalent of the flagship's local shadow atlas
+(hello_rendering_paths.cpp:104-109 — up to 8 spot maps and 2 point
+lights x 6 cube faces — recorded by record_shadow_passes :6912) and the
+forward+ shader's `eval_local_shadow`
+(shaders/vulkan/fp_stress_scene.frag:355-414), with budgets/techniques per
+shadow_technique.hpp:18-119 (SpotMap2D / PointCube / AreaProxySpotMap2D,
+ShadowCasterBudget, ShadowQualityParams).
+
+Design (TPU-first, not a port):
+
+- All local maps live in ONE depth atlas shaped (n_slots, S, S); a spot (or
+  area-proxy) light owns 1 slot, a point light owns 6 consecutive slots
+  (one per cube face).  Slots are rendered depth-only with the existing
+  DEPTH_NDC01 raster path via a `lax.map` over stacked view-projections —
+  one compiled program, n_slots sequential executions.
+- Sampling computes a per-pixel visibility PLANE per shadowed light
+  (a (H, W, K+1) stack; channel K is the constant 1.0 "unshadowed" plane).
+  Cube-face selection is per-pixel: the face index chooses the slot, and the
+  projection uses that slot's own view-projection fetched with a row gather,
+  so the sample stays consistent with however the raster mapped NDC to
+  texels (no hand-derived face-UV table to get wrong; the reference's GLSL
+  face-UV path at fp_stress_scene.frag:302 is equivalent by construction).
+- The light loop then applies visibility with a one-hot (K+1)-wide matmul
+  per binned light (see lighting/light_runtime.accumulate_local_lights) —
+  an MXU-shaped op instead of a per-(pixel, light) gather.
+- PCF uses the packed-tap wide-gather path (see shadow_sample.py): the
+  whole (2r+1)^2 window is one take_rows() gather from a flat tap table
+  covering the entire atlas.
+
+Deviation from the reference, by intent: the reference's GLSL point-light
+depth test compares the NORMALIZED direction's major component (<= 1.0)
+against a view-space reference depth in world units
+(fp_stress_scene.frag:393-410), which underestimates occlusion beyond
+~1 unit.  We instead project into the selected face's frustum and compare
+NDC01 depths exactly like the spot path — correct at every distance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsr_tpu.core import math3d as m3
+from lsr_tpu.core.gather import take_rows
+from lsr_tpu.lighting.light_types import (
+    LIGHT_POINT,
+    LIGHT_RECT_AREA,
+    LIGHT_SPOT,
+    LIGHT_TUBE_AREA,
+    LightsSoA,
+)
+from lsr_tpu.lighting.shadow_sample import pack_shadow_taps
+
+# shadow_technique.hpp:18-25
+SHADOW_NONE = 0
+SHADOW_SPOT_2D = 2          # SpotMap2D (also AreaProxySpotMap2D)
+SHADOW_POINT_CUBE = 3
+
+_SHADOW_NEAR = 0.05          # kShadowNearZ, hello_rendering_paths.cpp:100
+_LOCAL_STRENGTH = 0.72       # spot strength, hello_rendering_paths.cpp:6398
+
+# Cube face forward/up table (make_point_shadow_face_view_proj :6824).
+_FACE_DIRS = np.asarray(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    np.float32,
+)
+_FACE_UPS = np.asarray(
+    [[0, -1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1], [0, -1, 0], [0, -1, 0]],
+    np.float32,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["depth_taps", "viewproj", "caster_pos", "caster_range",
+                 "light_shadow_index", "strength", "bias_const", "bias_slope"],
+    meta_fields=["map_size", "pcf_radius", "kinds", "base_slots"],
+)
+@dataclasses.dataclass(frozen=True)
+class LocalShadowMaps:
+    """The rendered local-shadow atlas + per-light sampling metadata.
+
+    K = number of shadowed lights; visibility stacks carry K+1 channels
+    (channel K is the constant "no shadow" plane every other light indexes).
+    """
+    depth_taps: jnp.ndarray        # (n_slots*S*S, (2r+1)^2) packed windows
+    viewproj: jnp.ndarray          # (n_slots, 16) row-major flattened
+    caster_pos: jnp.ndarray        # (K, 3) light position per shadowed light
+    caster_range: jnp.ndarray      # (K,)
+    light_shadow_index: jnp.ndarray  # (L,) i32: k for shadowed, K otherwise
+    strength: jnp.ndarray          # (K,)
+    bias_const: jnp.ndarray        # scalar
+    bias_slope: jnp.ndarray        # scalar
+    map_size: int = 512
+    pcf_radius: int = 1
+    kinds: tuple = ()              # per shadowed light: SHADOW_SPOT_2D | CUBE
+    base_slots: tuple = ()         # per shadowed light: first atlas slot
+
+    @property
+    def n_shadowed(self) -> int:
+        return len(self.kinds)
+
+    @property
+    def n_slots(self) -> int:
+        return int(self.viewproj.shape[0])
+
+
+def plan_shadow_casters(lights: LightsSoA, max_spot: int = 8,
+                        max_point: int = 2, include_area_proxies: bool = True):
+    """Pick which lights get shadow maps (host-side, static result).
+
+    Mirrors the flagship's budgeted selection (hello_rendering_paths.cpp:
+    6390-6646: spots and area proxies share the spot-map budget in visit
+    order; points draw from their own budget).  Returns (spot_ids,
+    point_ids) as tuples of python ints — static under jit.
+    """
+    types = np.asarray(lights.type)
+    enabled = np.asarray(lights.enabled)
+    spot_ids, point_ids = [], []
+    for i in range(types.shape[0]):
+        if not enabled[i]:
+            continue
+        t = int(types[i])
+        if t == LIGHT_SPOT or (
+            include_area_proxies and t in (LIGHT_RECT_AREA, LIGHT_TUBE_AREA)
+        ):
+            if len(spot_ids) < max_spot:
+                spot_ids.append(i)
+        elif t == LIGHT_POINT and len(point_ids) < max_point:
+            point_ids.append(i)
+    return tuple(spot_ids), tuple(point_ids)
+
+
+def _spot_viewproj(pos, direction, outer_angle, rng):
+    """build_local_shadow_vp semantics (hello_rendering_paths.cpp:6846-6860):
+    lookAtLH down the light direction, perspective fov = clamp(2*outer,
+    25deg, 150deg), square aspect, far = max(range, near + 0.2)."""
+    d = m3.normalize(direction)
+    up = jnp.where(jnp.abs(d[1]) > 0.95,
+                   jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                   jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    view = m3.look_at_lh(pos, pos + d, up)
+    fov = jnp.clip(2.0 * outer_angle, np.deg2rad(25.0), np.deg2rad(150.0))
+    far = jnp.maximum(rng, _SHADOW_NEAR + 0.2)
+    proj = m3.perspective_lh_no(fov, 1.0, _SHADOW_NEAR, far)
+    return proj @ view
+
+
+def _point_face_viewprojs(pos, rng):
+    """make_point_shadow_face_view_proj (:6824): 6 x (90deg, square)."""
+    far = jnp.maximum(rng, _SHADOW_NEAR + 0.2)
+    proj = m3.perspective_lh_no(np.deg2rad(90.0), 1.0, _SHADOW_NEAR, far)
+    vps = []
+    for f in range(6):
+        view = m3.look_at_lh(pos, pos + jnp.asarray(_FACE_DIRS[f]),
+                             jnp.asarray(_FACE_UPS[f]))
+        vps.append(proj @ view)
+    return vps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spot_ids", "point_ids", "map_size", "pcf_radius",
+                     "cap", "use_tiled"),
+)
+def render_local_shadow_maps(
+    geom,
+    objects,
+    lights: LightsSoA,
+    spot_ids: tuple,
+    point_ids: tuple,
+    map_size: int = 512,
+    pcf_radius: int = 1,
+    bias_const: float = 2e-3,
+    bias_slope: float = 6e-3,
+    cap: int = 2048,
+    use_tiled: bool = True,
+) -> LocalShadowMaps:
+    """Render every budgeted local shadow slot and pack the sampling atlas.
+
+    The depth-only raster (record_shadow_passes :6912 analog) runs as ONE
+    compiled slot program swept over stacked view-projections with lax.map.
+    """
+    from lsr_tpu.raster.brute import rasterize_brute
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    vps, kinds, base_slots, caster_pos, caster_range, strengths = \
+        [], [], [], [], [], []
+    slot = 0
+    for sid in spot_ids:
+        vps.append(_spot_viewproj(
+            lights.position[sid], lights.direction[sid],
+            lights.outer_angle[sid], lights.range[sid]))
+        kinds.append(SHADOW_SPOT_2D)
+        base_slots.append(slot)
+        caster_pos.append(lights.position[sid])
+        caster_range.append(lights.range[sid])
+        strengths.append(_LOCAL_STRENGTH)
+        slot += 1
+    for pid in point_ids:
+        vps.extend(_point_face_viewprojs(lights.position[pid],
+                                         lights.range[pid]))
+        kinds.append(SHADOW_POINT_CUBE)
+        base_slots.append(slot)
+        caster_pos.append(lights.position[pid])
+        caster_range.append(lights.range[pid])
+        strengths.append(_LOCAL_STRENGTH)
+        slot += 6
+
+    n_slots = slot
+    vp_stack = jnp.stack(vps)                       # (n_slots, 4, 4)
+
+    caster_mask = objects.casts_shadow & objects.visible
+    one = jnp.float32(1.0)
+
+    def render_slot(vp):
+        setup = scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj,
+            objects.model, objects.normal_mat, vp,
+            map_size, map_size,
+            cull_mode=CULL_NONE,
+            obj_visible=caster_mask,
+        )
+        if use_tiled:
+            depth, _, _ = rasterize_direct(
+                setup, map_size, map_size, jnp.float32(0.0), one,
+                depth_mode=DEPTH_NDC01, track_ids=False,
+            )
+        else:
+            depth, _ = rasterize_brute(
+                setup, map_size, map_size, jnp.float32(0.0), one,
+                depth_mode=DEPTH_NDC01,
+            )
+        return depth
+
+    depth = jax.lax.map(render_slot, vp_stack)      # (n_slots, S, S)
+
+    taps = jax.vmap(lambda d: pack_shadow_taps(d, pcf_radius))(depth)
+    taps = taps.reshape(n_slots * map_size * map_size, -1)
+
+    # Per-light index into the visibility stack: K for "unshadowed".
+    k_total = len(kinds)
+    idx = np.full(lights.count, k_total, np.int32)
+    for k, sid in enumerate(list(spot_ids) + list(point_ids)):
+        idx[sid] = k
+
+    return LocalShadowMaps(
+        depth_taps=taps,
+        viewproj=vp_stack.reshape(n_slots, 16),
+        caster_pos=jnp.stack(caster_pos),
+        caster_range=jnp.stack(caster_range),
+        light_shadow_index=jnp.asarray(idx),
+        strength=jnp.asarray(strengths, jnp.float32),
+        bias_const=jnp.float32(bias_const),
+        bias_slope=jnp.float32(bias_slope),
+        map_size=map_size,
+        pcf_radius=pcf_radius,
+        kinds=tuple(kinds),
+        base_slots=tuple(base_slots),
+    )
+
+
+def _project_rows(vp_rows, wp):
+    """Project (..., 3) world points by per-pixel (..., 16) row-major VPs."""
+    x, y, z = wp[..., 0], wp[..., 1], wp[..., 2]
+
+    def row(c):
+        return (vp_rows[..., c] * x + vp_rows[..., c + 1] * y
+                + vp_rows[..., c + 2] * z + vp_rows[..., c + 3])
+
+    return row(0), row(4), row(8), row(12)
+
+
+def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
+    """Per-pixel visibility for each shadowed light: (H, W, K+1).
+
+    Channel k < K mirrors eval_local_shadow (fp_stress_scene.frag:355):
+    project into the light frustum (cube lights select the face per pixel
+    first), PCF-compare biased NDC01 depth, then mix(1, vis, strength).
+    Channel K is constant 1.0 so unshadowed lights can index it.
+    """
+    s = sh.map_size
+    planes = []
+    for k in range(sh.n_shadowed):
+        base = sh.base_slots[k]
+        pos = sh.caster_pos[k]
+        rel = world_pos - pos[None, None, :]
+        rel_len = jnp.linalg.norm(rel, axis=-1)
+        l_dir = -rel / jnp.maximum(rel_len, 1e-8)[..., None]
+        ndl = jnp.maximum(jnp.sum(normal * l_dir, -1), 0.0)
+        bias = sh.bias_const + sh.bias_slope * (1.0 - jnp.clip(ndl, 0.0, 1.0))
+
+        if sh.kinds[k] == SHADOW_POINT_CUBE:
+            # Face = major axis of rel (point_shadow_face_uv :302 semantics);
+            # the slot's own VP then produces UV/z — consistent with the
+            # raster by construction.
+            ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
+                          jnp.abs(rel[..., 2]))
+            face_x = jnp.where(rel[..., 0] >= 0, 0, 1)
+            face_y = jnp.where(rel[..., 1] >= 0, 2, 3)
+            face_z = jnp.where(rel[..., 2] >= 0, 4, 5)
+            face = jnp.where(
+                (ax >= ay) & (ax >= az), face_x,
+                jnp.where(ay >= az, face_y, face_z),
+            )
+            slot = base + face
+            vp_rows = take_rows(sh.viewproj, slot)          # (H, W, 16)
+            in_reach = (rel_len > 1e-4) & (rel_len < sh.caster_range[k])
+        else:
+            slot = jnp.full(world_pos.shape[:-1], base, jnp.int32)
+            vp_rows = jnp.broadcast_to(
+                sh.viewproj[base], world_pos.shape[:-1] + (16,))
+            in_reach = jnp.ones(world_pos.shape[:-1], bool)
+
+        px, py, pz, pw = _project_rows(vp_rows, world_pos)
+        w_ok = jnp.abs(pw) >= 1e-8
+        w_safe = jnp.where(w_ok, pw, 1.0)
+        u = (px / w_safe) * 0.5 + 0.5
+        v = (py / w_safe) * 0.5 + 0.5
+        z01 = (pz / w_safe) * 0.5 + 0.5
+        in_map = (
+            w_ok & in_reach & (pw > 0.0)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            & (z01 > 0.0) & (z01 < 1.0)
+        )
+
+        cx = jnp.clip(jnp.round(u * (s - 1)), 0, s - 1).astype(jnp.int32)
+        cy = jnp.clip(jnp.round(v * (s - 1)), 0, s - 1).astype(jnp.int32)
+        rows = (slot * s + cy) * s + cx
+        window = take_rows(sh.depth_taps, rows)             # (H, W, T)
+        z_test = (z01 - bias)[..., None]
+        vis = jnp.mean((z_test <= window).astype(jnp.float32), -1)
+        vis = 1.0 + (vis - 1.0) * jnp.clip(sh.strength[k], 0.0, 1.0)
+        planes.append(jnp.where(in_map, vis, 1.0))
+
+    planes.append(jnp.ones(world_pos.shape[:-1], jnp.float32))
+    return jnp.stack(planes, axis=-1)

@@ -47,14 +47,20 @@ def shade_forward_plus(
     sun_model: str = "pbr_mr",
     background=(0.04, 0.06, 0.1),
     use_kernel: bool = True,
+    local_shadows=None,
 ):
     """Full lit HDR frame from a G-buffer + light set.
 
+    local_shadows: optional lighting.local_shadows.LocalShadowMaps — applies
+    spot/point/area-proxy shadow maps inside the local light loop
+    (eval_local_shadow semantics, fp_stress_scene.frag:355-414).  Currently
+    served by the XLA accumulation path.
     Returns (hdr (H,W,3), light_stats dict).
     """
     # Fused fast path: ONE Pallas kernel computes sun BRDF + binned local
     # lights; only ambient/emissive and background composition stay in XLA.
-    if (use_kernel and mode in ("tiled", "tiled_depth_range")
+    if (use_kernel and local_shadows is None
+            and mode in ("tiled", "tiled_depth_range")
             and sun_model in ("pbr_mr", "blinn_phong")):
         from lsr_tpu.lighting.shade_kernel import shade_fused_pallas
         from lsr_tpu.lighting.shadow_sample import shadow_visibility_dir
@@ -104,6 +110,14 @@ def shade_forward_plus(
     # Sun + ambient/IBL via the built-in single-light models.
     base = SHADING_MODELS[sun_model](gb, ctx)
 
+    vis_stack = shadow_index = None
+    if local_shadows is not None:
+        from lsr_tpu.lighting.local_shadows import local_shadow_vis_stack
+
+        vis_stack = local_shadow_vis_stack(
+            local_shadows, gb.world_pos, gb.normal_ws)
+        shadow_index = local_shadows.light_shadow_index
+
     if mode == "clustered":
         lists, counts, max_count = cull_lights_clustered(
             lights, view, proj, zn, zf, width, height,
@@ -115,6 +129,7 @@ def shade_forward_plus(
             gb.world_pos, gb.normal_ws, ctx.camera_pos, lights, lists,
             width, height, tile_size=tile_size, chunk=chunk,
             cluster_of_pixel=cluster, slices=slices,
+            shadow_vis_stack=vis_stack, light_shadow_index=shadow_index,
         )
     else:
         tdr = None
@@ -129,6 +144,7 @@ def shade_forward_plus(
         diff, spec = accumulate_local_lights(
             gb.world_pos, gb.normal_ws, ctx.camera_pos, lights, lists,
             width, height, tile_size=tile_size, chunk=chunk,
+            shadow_vis_stack=vis_stack, light_shadow_index=shadow_index,
         )
 
     # Material combine (albedo-modulated diffuse + specular).

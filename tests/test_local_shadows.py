@@ -1,0 +1,162 @@
+"""Local light shadows: spot maps + point cube faces (flagship parity).
+
+Covers the capabilities of hello_rendering_paths.cpp:104-109 /
+record_shadow_passes :6912 and the fp_stress_scene.frag:355-414
+eval_local_shadow sampling semantics.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsr_tpu.core import math3d as m3
+from lsr_tpu.io.obj import make_cube, make_plane
+from lsr_tpu.lighting.light_types import LightSetBuilder
+from lsr_tpu.lighting.local_shadows import (
+    SHADOW_POINT_CUBE,
+    SHADOW_SPOT_2D,
+    local_shadow_vis_stack,
+    plan_shadow_casters,
+    render_local_shadow_maps,
+)
+from lsr_tpu.scene.scene import SceneBuilder
+
+
+def _occluder_scene():
+    b = SceneBuilder()
+    b.add(make_cube(0.8), np.asarray(m3.translate([0.0, 0.5, 0.0])))
+    b.add(make_plane(6.0, y=-1.0), material=1, casts_shadow=False)
+    return b.build()
+
+
+def test_plan_respects_budgets():
+    lb = LightSetBuilder()
+    for i in range(6):
+        lb.spot((i, 2, 0), (0, -1, 0))
+    for i in range(4):
+        lb.point((i, 1, 3))
+    lb.rect_area((0, 1, -3), (0, 0, 1))
+    lights = lb.build()
+    spot_ids, point_ids = plan_shadow_casters(lights, max_spot=4, max_point=2)
+    assert len(spot_ids) == 4 and len(point_ids) == 2
+    # Area lights proxy into the spot budget in visit order (flagship :6472).
+    spot_all, _ = plan_shadow_casters(lights, max_spot=8, max_point=2)
+    assert 10 in spot_all
+
+
+def test_spot_shadow_occludes_ground():
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=3.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lights = lb.build()
+    sh = render_local_shadow_maps(
+        geom, objects, lights, spot_ids=(0,), point_ids=(),
+        map_size=256, pcf_radius=1)
+    assert sh.kinds == (SHADOW_SPOT_2D,)
+    assert sh.n_slots == 1
+
+    # Ground directly under the cube vs. ground off to the side (still in
+    # the cone: radius at y=-1 is 5*tan(1.1) ~ 9.8).
+    pts = jnp.asarray(
+        [[[0.0, -1.0, 0.0], [2.5, -1.0, 2.5], [0.2, -1.0, -0.1]]],
+        jnp.float32)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), pts.shape)
+    vis = np.asarray(local_shadow_vis_stack(sh, pts, nrm))[0]
+    assert vis.shape == (3, 2)           # K=1 shadowed + constant plane
+    assert np.allclose(vis[:, 1], 1.0)   # unshadowed channel is 1.0
+    assert vis[0, 0] < 0.5, f"under-cube not shadowed: {vis}"
+    assert vis[1, 0] > 0.9, f"open ground wrongly shadowed: {vis}"
+    assert vis[2, 0] < 0.5
+
+
+def test_point_cube_shadow_selects_faces():
+    # Occluder along +X of the light; the -X side must stay lit.
+    b = SceneBuilder()
+    b.add(make_cube(0.8), np.asarray(m3.translate([1.5, 1.0, 0.0])))
+    geom, objects = b.build()
+    lb = LightSetBuilder()
+    lb.point((0.0, 1.0, 0.0), intensity=3.0, range=8.0)
+    lights = lb.build()
+    sh = render_local_shadow_maps(
+        geom, objects, lights, spot_ids=(), point_ids=(0,),
+        map_size=256, pcf_radius=1)
+    assert sh.kinds == (SHADOW_POINT_CUBE,)
+    assert sh.n_slots == 6
+
+    pts = jnp.asarray(
+        [[[4.0, 1.0, 0.0],      # behind the occluder (+X face)
+          [-4.0, 1.0, 0.0],     # opposite side (-X face)
+          [0.0, 1.0, 4.0]]],    # +Z, clear
+        jnp.float32)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), pts.shape)
+    vis = np.asarray(local_shadow_vis_stack(sh, pts, nrm))[0]
+    assert vis[0, 0] < 0.5, f"+X not shadowed: {vis}"
+    assert vis[1, 0] > 0.9, f"-X wrongly shadowed: {vis}"
+    assert vis[2, 0] > 0.9, f"+Z wrongly shadowed: {vis}"
+    # Out of range -> untouched.
+    far = jnp.asarray([[[20.0, 1.0, 0.0]]], jnp.float32)
+    nf = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), far.shape)
+    vfar = np.asarray(local_shadow_vis_stack(sh, far, nf))[0]
+    assert vfar[0, 0] == 1.0
+
+
+def test_forward_plus_applies_local_shadows():
+    """End-to-end: the lit frame darkens exactly where the occluder blocks
+    the (only) spot light, and is untouched where it doesn't."""
+    import jax
+
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=6.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lights = lb.build()
+    sh = render_local_shadow_maps(
+        geom, objects, lights, spot_ids=(0,), point_ids=(),
+        map_size=256, pcf_radius=1)
+
+    w, h = 160, 120
+    cam = make_camera(w, h, (0.0, 5.0, -7.0), (0, 0, 0))
+    mats = make_materials(base_color=[(0.8, 0.8, 0.8), (0.7, 0.7, 0.7)])
+    ctx = make_shade_context(
+        mats, light_dir_ws=(0.3, -1.0, 0.2), light_intensity=0.2,
+        camera_pos=(0.0, 5.0, -7.0))
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
+
+    def lit(shadows):
+        hdr, _ = shade_forward_plus(
+            gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+            tile_size=16, cap=8, mode="tiled", sun_model="blinn_phong",
+            use_kernel=False, local_shadows=shadows)
+        return hdr
+
+    hdr_ns = np.asarray(jax.block_until_ready(lit(None)))
+    hdr_sh = np.asarray(jax.block_until_ready(lit(sh)))
+
+    # Shadowing only darkens; and it darkens a substantial patch.
+    diff = (hdr_ns - hdr_sh).sum(-1)
+    assert (diff >= -1e-4).all()
+    assert (diff > 0.05).sum() > 50, f"no shadowed patch ({(diff>0.05).sum()})"
+
+    # The disabled-shadow path with an all-unshadowed index is identical to
+    # the no-stack path (onehot routes every light to the constant plane).
+    sh_none = dataclasses.replace(
+        sh, light_shadow_index=jnp.full_like(sh.light_shadow_index,
+                                             sh.n_shadowed))
+    hdr_id = np.asarray(jax.block_until_ready(lit(sh_none)))
+    assert np.allclose(hdr_id, hdr_ns, atol=1e-5)
