@@ -246,7 +246,8 @@ def accumulate_lights_pallas(
 ):
     """Binned local-light accumulation on raster-shaped tiles.
 
-    Returns (diffuse (H,W,3), specular (H,W,3), max_count)."""
+    Returns (diffuse (H,W,3), specular (H,W,3), bin_stats dict
+    {max_count, overflow_bins})."""
     if interpret is None:
         interpret = default_interpret()
     tiles_x = _cdiv(width, tile_w)
@@ -254,7 +255,7 @@ def accumulate_lights_pallas(
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
-    lists, counts, max_count = cull_lights_tiled(
+    lists, counts, bin_stats = cull_lights_tiled(
         lights, view, proj, width, height,
         tile_size=tile_w, tile_h=tile_h, cap=cap,
         tile_depth_range=tile_depth_range,
@@ -303,4 +304,4 @@ def accumulate_lights_pallas(
 
     diffuse = jnp.moveaxis(out[0:3, :height, :width], 0, -1)
     specular = jnp.moveaxis(out[3:6, :height, :width], 0, -1)
-    return diffuse, specular, max_count
+    return diffuse, specular, bin_stats

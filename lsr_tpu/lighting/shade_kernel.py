@@ -290,7 +290,7 @@ def shade_fused_pallas(
     sun_model: str = "pbr_mr",
     interpret: bool | None = None,
 ):
-    """Sun + binned local lighting, fused.  Returns ((H,W,3) lit, max_count).
+    """Sun + binned local lighting, fused.  Returns ((H,W,3) lit, bin_stats).
 
     The result covers direct sun + albedo-modulated local diffuse + local
     specular, zeroed outside coverage; add ambient/emissive and composite
@@ -303,7 +303,7 @@ def shade_fused_pallas(
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
-    lists, counts, max_count = cull_lights_tiled(
+    lists, counts, bin_stats = cull_lights_tiled(
         lights, view, proj, width, height,
         tile_size=tile_w, tile_h=tile_h, cap=cap,
         tile_depth_range=tile_depth_range,
@@ -361,4 +361,4 @@ def shade_fused_pallas(
     )(counts, zparams, tile_rec, gbuf)
 
     lit = jnp.moveaxis(out[0:3, :height, :width], 0, -1)
-    return lit, max_count
+    return lit, bin_stats

@@ -91,7 +91,7 @@ def shade_forward_plus(
             tdr = tile_depth_ranges_from_buffer(
                 gb.depth01, zn, zf, width, height, 128, tile_h=64
             )
-        lit, max_count = shade_fused_pallas(
+        lit, bin_stats = shade_fused_pallas(
             gb.world_pos, n, gb.covered,
             albedo, metal[..., 0], rough[..., 0], vis,
             ctx.camera_pos, ctx.light_dir_ws,
@@ -105,7 +105,9 @@ def shade_forward_plus(
         hdr = lit + jnp.where(gb.covered[..., None], amb, 0.0)
         bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), hdr.shape)
         hdr = composite_over_background(hdr, gb, bg)
-        return hdr, {"max_lights_per_bin": max_count, "total_bins": 0}
+        return hdr, {"max_lights_per_bin": bin_stats["max_count"],
+                     "overflow_bins": bin_stats["overflow_bins"],
+                     "total_bins": 0}
 
     # Sun + ambient/IBL via the built-in single-light models.
     base = SHADING_MODELS[sun_model](gb, ctx)
@@ -119,7 +121,7 @@ def shade_forward_plus(
         shadow_index = local_shadows.light_shadow_index
 
     if mode == "clustered":
-        lists, counts, max_count = cull_lights_clustered(
+        lists, counts, bin_stats = cull_lights_clustered(
             lights, view, proj, zn, zf, width, height,
             tile_size=tile_size, cap=cap, slices=slices,
         )
@@ -137,7 +139,7 @@ def shade_forward_plus(
             tdr = tile_depth_ranges_from_buffer(
                 gb.depth01, zn, zf, width, height, tile_size
             )
-        lists, counts, max_count = cull_lights_tiled(
+        lists, counts, bin_stats = cull_lights_tiled(
             lights, view, proj, width, height,
             tile_size=tile_size, cap=cap, tile_depth_range=tdr,
         )
@@ -162,5 +164,7 @@ def shade_forward_plus(
     hdr = base + local
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), hdr.shape)
     hdr = composite_over_background(hdr, gb, bg)
-    stats = {"max_lights_per_bin": max_count, "total_bins": counts.shape[0]}
+    stats = {"max_lights_per_bin": bin_stats["max_count"],
+             "overflow_bins": bin_stats["overflow_bins"],
+             "total_bins": counts.shape[0]}
     return hdr, stats

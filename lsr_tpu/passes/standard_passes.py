@@ -178,14 +178,16 @@ class LightCullingPass(RenderPass):
                 state["depth"], cam.zn, cam.zf, fp.width, fp.height,
                 t.tile_size,
             )
-        lists, counts, max_count = cull_lights_tiled(
+        lists, counts, bin_stats = cull_lights_tiled(
             state["lights"], cam.view, cam.proj, fp.width, fp.height,
             tile_size=t.tile_size, cap=t.max_lights_per_tile,
             tile_depth_range=tdr,
         )
         out = dict(state)
         out["light_grid"] = {"lists": lists, "counts": counts,
-                             "max_count": max_count, "slices": 1}
+                             "max_count": bin_stats["max_count"],
+                             "overflow_bins": bin_stats["overflow_bins"],
+                             "slices": 1}
         return out
 
 
@@ -222,14 +224,15 @@ class ClusterLightAssignPass(RenderPass):
 
         cam = state["camera"]
         t = fp.technique
-        lists, counts, max_count = cull_lights_clustered(
+        lists, counts, bin_stats = cull_lights_clustered(
             state["lights"], cam.view, cam.proj, cam.zn, cam.zf,
             fp.width, fp.height, tile_size=t.tile_size,
             cap=t.max_lights_per_tile, slices=t.cluster_slices,
         )
         out = dict(state)
         out["light_grid"] = {"lists": lists, "counts": counts,
-                             "max_count": max_count,
+                             "max_count": bin_stats["max_count"],
+                             "overflow_bins": bin_stats["overflow_bins"],
                              "slices": t.cluster_slices}
         return out
 

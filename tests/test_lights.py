@@ -107,10 +107,11 @@ def test_tiled_binning_matches_dense():
     lights = _light_ring(24)
     eye = jnp.array([0.5, 1.5, -4.0], jnp.float32)
 
-    lists, counts, max_count = cull_lights_tiled(
+    lists, counts, bin_stats = cull_lights_tiled(
         lights, cam.view, cam.proj, w, h, tile_size=16, cap=32
     )
-    assert int(max_count) <= 32
+    assert int(bin_stats["max_count"]) <= 32
+    assert int(bin_stats["overflow_bins"]) == 0
     d_binned, s_binned = accumulate_local_lights(
         gb.world_pos, gb.normal_ws, eye, lights, lists, w, h,
         tile_size=16, chunk=8,
@@ -147,10 +148,10 @@ def test_clustered_matches_tiled():
         tile_size=16, chunk=8)
 
     slices = 8
-    lists_c, _, maxc = cull_lights_clustered(
+    lists_c, _, cstats = cull_lights_clustered(
         lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
         tile_size=16, cap=32, slices=slices)
-    assert int(maxc) <= 32
+    assert int(cstats["max_count"]) <= 32
     view_z = cam.zn + gb.depth01 * (cam.zf - cam.zn)
     cluster = view_depth_to_cluster_slice(view_z, cam.zn, cam.zf, slices)
     d_c, s_c = accumulate_local_lights(
@@ -216,10 +217,10 @@ def test_pallas_fplus_kernel_matches_xla():
     d_x = jnp.where(gb.covered[..., None], d_x, 0.0)
     s_x = jnp.where(gb.covered[..., None], s_x, 0.0)
 
-    d_p, s_p, maxc = accumulate_lights_pallas(
+    d_p, s_p, pstats = accumulate_lights_pallas(
         gb.world_pos, gb.normal_ws, gb.covered, eye, lights,
         cam.view, cam.proj, w, h, tile_h=16, tile_w=128, cap=32, chunk=8)
-    assert int(maxc) <= 32
+    assert int(pstats["max_count"]) <= 32
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
                                atol=3e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
