@@ -113,28 +113,53 @@ def _mask_to_lists(mask, cap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_size", "cap", "tile_h")
+    jax.jit, static_argnames=("width", "height", "tile_size", "cap", "tile_h",
+                              "use_shapes")
 )
 def cull_lights_tiled(
     lights: LightsSoA, view, proj, width: int, height: int,
     tile_size: int = 16, cap: int = 128,
     tile_depth_range=None, tile_h: int | None = None,
+    use_shapes: bool = True,
 ):
     """Tiled light binning.  tile_depth_range: optional (tiles, 2) view-z
     [min,max] to also test (TiledDepthRange mode).
 
-    Returns (lists (tiles, cap), counts (tiles,), max_count).
+    use_shapes=True (default) tests each light's analytic support shape
+    (geometry/support_shapes.light_culling_shapes: point sphere, spot CONE,
+    rect OBB, tube capsule) against the tile planes — strictly tighter than
+    the reference's per-type bounding spheres (light_types.hpp:251-435)
+    while remaining conservative.  use_shapes=False keeps sphere bounds.
+
+    Returns (lists (tiles, cap), counts (tiles,), stats).
     Local lights only: directional/env-probe rows never enter tile lists
     (they are applied globally, matching the reference's culling shapes).
     tile_size is the tile width; tile_h defaults to square tiles.
     """
-    centers, radii = light_bounding_spheres(lights)
-    c_view, r = view_space_spheres(view, centers, radii)
-
     planes = tile_side_planes(width, height, tile_size, proj, tile_h)
-    # Signed distances: (tiles, 4, L)
-    d = jnp.einsum("tpc,lc->tpl", planes, c_view)
-    inside = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+    num_tiles = planes.shape[0]
+
+    if use_shapes:
+        from lsr_tpu.geometry.support_shapes import (
+            light_culling_shapes, support_max_dot, transform_shapes)
+
+        rec = light_culling_shapes(lights)
+        rec_v = transform_shapes(rec, view[:3, :3], view[:3, 3])
+        # A light survives a tile if its support along every inward plane
+        # normal is non-negative (not fully outside any side plane).
+        sup = support_max_dot(rec_v, planes.reshape(num_tiles * 4, 3))
+        inside = jnp.all(sup.reshape(-1, num_tiles, 4) >= 0.0, axis=2).T
+        # View-z extent from the same support function (for depth ranges).
+        zsup = support_max_dot(
+            rec_v, jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]],
+                               jnp.float32))
+        zmax_l, zmin_l = zsup[:, 0], -zsup[:, 1]
+    else:
+        centers, radii = light_bounding_spheres(lights)
+        c_view, r = view_space_spheres(view, centers, radii)
+        d = jnp.einsum("tpc,lc->tpl", planes, c_view)
+        inside = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+        zmin_l, zmax_l = c_view[:, 2] - r, c_view[:, 2] + r
 
     local = (lights.type != 0) & (lights.type != 5) & lights.enabled
     mask = inside & local[None, :]
@@ -142,8 +167,7 @@ def cull_lights_tiled(
     if tile_depth_range is not None:
         zmin = tile_depth_range[:, 0][:, None]
         zmax = tile_depth_range[:, 1][:, None]
-        z = c_view[None, :, 2]
-        overlap = (z + r[None, :] >= zmin) & (z - r[None, :] <= zmax)
+        overlap = (zmax_l[None, :] >= zmin) & (zmin_l[None, :] <= zmax)
         mask = mask & overlap
 
     return _mask_to_lists(mask, cap)

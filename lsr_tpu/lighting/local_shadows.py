@@ -75,6 +75,8 @@ _FACE_UPS = np.asarray(
     np.float32,
 )
 
+_TAP_STRIDE = 4  # anchor stride of the packed atlas windows
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -243,8 +245,12 @@ def render_local_shadow_maps(
 
     depth = jax.lax.map(render_slot, vp_stack)      # (n_slots, S, S)
 
-    taps = jax.vmap(lambda d: pack_shadow_taps(d, pcf_radius))(depth)
-    taps = taps.reshape(n_slots * map_size * map_size, -1)
+    # Strided anchor windows (see shadow_sample.pack_shadow_taps): the whole
+    # atlas becomes one (n_slots * (S/stride)^2, (stride+2r)^2) row table so
+    # any slot samples with a single wide gather.
+    taps = jax.vmap(
+        lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
+    taps = taps.reshape(n_slots * taps.shape[1], -1)
 
     # Per-light index into the visibility stack: K for "unshadowed".
     k_total = len(kinds)
@@ -334,10 +340,23 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
 
         cx = jnp.clip(jnp.round(u * (s - 1)), 0, s - 1).astype(jnp.int32)
         cy = jnp.clip(jnp.round(v * (s - 1)), 0, s - 1).astype(jnp.int32)
-        rows = (slot * s + cy) * s + cx
-        window = take_rows(sh.depth_taps, rows)             # (H, W, T)
+        r = sh.pcf_radius
+        stride = _TAP_STRIDE
+        win = stride + 2 * r
+        n_anchor = -(-s // stride)
+        ax_i = cx // stride
+        ay_i = cy // stride
+        rx = (cx - ax_i * stride)[..., None]
+        ry = (cy - ay_i * stride)[..., None]
+        rows = (slot * n_anchor + ay_i) * n_anchor + ax_i
+        window = take_rows(sh.depth_taps, rows)             # (H, W, win^2)
+        lane = jnp.arange(win * win, dtype=jnp.int32)
+        li, lj = lane // win, lane % win
+        m = ((li >= ry) & (li <= ry + 2 * r)
+             & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
         z_test = (z01 - bias)[..., None]
-        vis = jnp.mean((z_test <= window).astype(jnp.float32), -1)
+        lit = jnp.sum((z_test <= window).astype(jnp.float32) * m, -1)
+        vis = lit / float((2 * r + 1) ** 2)
         vis = 1.0 + (vis - 1.0) * jnp.clip(sh.strength[k], 0.0, 1.0)
         planes.append(jnp.where(in_map, vis, 1.0))
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
     jax.tree_util.register_dataclass,
     data_fields=["depth", "light_viewproj", "bias_const", "bias_slope",
                  "strength", "depth_taps"],
-    meta_fields=["pcf_radius", "pcf_step"],
+    meta_fields=["pcf_radius", "pcf_step", "tap_stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class ShadowContext:
@@ -35,34 +35,45 @@ class ShadowContext:
     strength: jnp.ndarray        # scalar in [0,1]
     pcf_radius: int = 2          # 0 = hard
     pcf_step: int = 1            # texel step
-    depth_taps: jnp.ndarray | None = None  # (S*S, (2r+1)^2) neighborhoods
+    tap_stride: int = 4          # anchor stride of depth_taps windows
+    depth_taps: jnp.ndarray | None = None  # ((S/stride)^2, (stride+2r)^2)
 
 
-def pack_shadow_taps(depth, radius: int):
-    """(S, S) -> (S*S, (2r+1)^2) rows: each texel's FULL clamped PCF window.
+def pack_shadow_taps(depth, radius: int, stride: int = 4):
+    """(S, S) -> ((S/stride)^2, (stride+2r)^2) strided anchor windows.
 
-    TPU gathers are per-row-overhead bound (~3.5ns/row, nearly independent of
-    width <= 64 lanes): 25 single-texel gathers at 2MP cost ~80ms measured,
-    while ONE 25-lane gather costs ~7ms.  Packing is pure shifted copies
-    (VPU/HBM-friendly), rebuilt once per shadow-map render."""
+    ONE wide row gather is the only fast PCF formulation on TPU, but its
+    cost scales with the TABLE size (measured at 2M pixels: 10MB table
+    ~12ms, 420MB ~85ms — the per-texel (S*S, 25) form is the slow one).
+    Packing one window per `stride`-aligned ANCHOR shrinks the table by
+    stride^2 while still covering every pixel's full clamped (2r+1)^2
+    window: a pixel at (cy, cx) uses anchor (cy//stride, cx//stride), whose
+    window spans [A*stride - r, A*stride + stride-1 + r] — lane
+    (ry + dy + r, rx + dx + r) with (ry, rx) = (cy, cx) % stride holds
+    exactly the clamped texel (cy+dy, cx+dx).  For 2048^2 at r=2, s=4:
+    67MB instead of 420MB.  Packing is stride^2-subsampled shifted copies
+    (VPU/HBM friendly), rebuilt once per shadow-map render."""
+    if 2 * radius > stride:
+        raise ValueError("pack_shadow_taps needs 2*radius <= stride so a "
+                         "window spans at most 2 blocks per axis")
     s = depth.shape[0]
-
-    def shifted(ox, oy):
-        x = depth
-        if oy > 0:
-            x = jnp.concatenate([x[oy:]] + [x[-1:]] * oy, axis=0)
-        elif oy < 0:
-            x = jnp.concatenate([x[:1]] * (-oy) + [x[:oy]], axis=0)
-        if ox > 0:
-            x = jnp.concatenate([x[:, ox:]] + [x[:, -1:]] * ox, axis=1)
-        elif ox < 0:
-            x = jnp.concatenate([x[:, :1]] * (-ox) + [x[:, :ox]], axis=1)
-        return x
-
-    taps = [shifted(ox, oy)
-            for oy in range(-radius, radius + 1)
-            for ox in range(-radius, radius + 1)]
-    return jnp.stack(taps, -1).reshape(s * s, len(taps))
+    win = stride + 2 * radius
+    n_anchor = -(-s // stride)
+    # Edge-pad so anchor (ay, ax)'s window starts at padded row ay*stride
+    # and the padded map is a whole number of stride-blocks.  Assembling
+    # windows is then FOUR shifted block-array concats (im2col by reshape)
+    # instead of win^2 full-map shifted copies (which cost ~200ms at 2048^2).
+    need = n_anchor * stride + 2 * radius
+    d_size = -(-need // stride) * stride
+    pad_br = d_size - s - radius
+    dd = jnp.pad(depth, ((radius, pad_br), (radius, pad_br)), mode="edge")
+    nb = d_size // stride
+    bl = dd.reshape(nb, stride, nb, stride).transpose(0, 2, 1, 3)
+    top = jnp.concatenate([bl[:-1, :-1], bl[:-1, 1:]], axis=-1)
+    bot = jnp.concatenate([bl[1:, :-1], bl[1:, 1:]], axis=-1)
+    w = jnp.concatenate([top, bot], axis=-2)  # (nb-1, nb-1, 2*st, 2*st)
+    w = w[:n_anchor, :n_anchor, :win, :win]
+    return w.reshape(n_anchor * n_anchor, win * win)
 
 
 def make_shadow_context(
@@ -74,7 +85,8 @@ def make_shadow_context(
     pcf_radius: int = 2,
     pcf_step: int = 1,
 ) -> ShadowContext:
-    taps = pack_shadow_taps(depth, pcf_radius) \
+    tap_stride = 4
+    taps = pack_shadow_taps(depth, pcf_radius, tap_stride) \
         if (pcf_radius > 0 and pcf_step == 1) else None
     return ShadowContext(
         depth=depth,
@@ -84,6 +96,7 @@ def make_shadow_context(
         strength=jnp.float32(strength),
         pcf_radius=int(pcf_radius),
         pcf_step=int(pcf_step),
+        tap_stride=tap_stride,
         depth_taps=taps,
     )
 
@@ -131,19 +144,29 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
     if r == 0:
         vis = (z_test <= fetch(0, 0)).astype(jnp.float32)
     elif shadow.depth_taps is not None and step == 1:
-        # Packed path: the whole (2r+1)^2 window arrives in ONE wide gather.
-        # Rows are clamp-packed (shifted copies replicate edge texels), which
-        # matches the reference's per-tap coordinate clamp exactly since the
-        # anchor (cx, cy) is always in range.
-        #
-        # take_rows keeps the gather on the fast path (flat indices + 1D
-        # table; see core/gather.py — the naive form costs ~90ms at 1080p).
+        # Packed path: ONE wide gather fetches the strided anchor window
+        # that covers this pixel's whole (2r+1)^2 PCF footprint (see
+        # pack_shadow_taps for the table geometry + cost model), then a
+        # static lane mask selects the exact taps.  Clamp semantics match
+        # the reference's per-tap coordinate clamp (edge-replicated pack).
         from lsr_tpu.core.gather import take_rows
 
-        zf = z_test.reshape(-1)
-        window = take_rows(shadow.depth_taps, (cy * sw + cx).reshape(-1))
-        lit = jnp.sum((zf[:, None] <= window).astype(jnp.float32), -1)
-        vis = (lit / float(window.shape[-1])).reshape(z_test.shape)
+        stride = shadow.tap_stride
+        win = stride + 2 * r
+        n_anchor = -(-sw // stride)
+        ax = cx // stride
+        ay = cy // stride
+        rx = (cx - ax * stride)[..., None]           # (..., 1) in [0, stride)
+        ry = (cy - ay * stride)[..., None]
+        window = take_rows(shadow.depth_taps, ay * n_anchor + ax)
+        lane = jnp.arange(win * win, dtype=jnp.int32)
+        li = lane // win                             # lane row in window
+        lj = lane % win
+        m = ((li >= ry) & (li <= ry + 2 * r)
+             & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
+        lit = jnp.sum((z_test[..., None] <= window).astype(jnp.float32) * m,
+                      -1)
+        vis = lit / float((2 * r + 1) ** 2)
     else:
         lit = jnp.zeros_like(z_test)
         for oy in range(-r, r + 1):
