@@ -137,7 +137,8 @@ def main():
         depth, tid, max_bin = rasterize_direct(
             setup, width, height, cam.zn, cam.zf
         )
-        gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
+        gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials,
+                                 want_face_normal=False)
         hdr, stats = shade_forward_plus(
             gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
             width, height, tile_size=16, cap=128, mode="tiled",

@@ -75,7 +75,7 @@ _FACE_UPS = np.asarray(
     np.float32,
 )
 
-_TAP_STRIDE = 4  # anchor stride of the packed atlas windows
+_TAP_STRIDE = 8  # anchor stride of the packed atlas windows
 
 
 @partial(

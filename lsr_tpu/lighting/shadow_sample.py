@@ -39,6 +39,10 @@ class ShadowContext:
     depth_taps: jnp.ndarray | None = None  # ((S/stride)^2, (stride+2r)^2)
 
 
+# Whole-frame fusion knob (A/B'd on hardware by scripts/dbg_frame.py).
+TAPS_BARRIER = True
+
+
 def pack_shadow_taps(depth, radius: int, stride: int = 4):
     """(S, S) -> ((S/stride)^2, (stride+2r)^2) strided anchor windows.
 
@@ -50,8 +54,9 @@ def pack_shadow_taps(depth, radius: int, stride: int = 4):
     window: a pixel at (cy, cx) uses anchor (cy//stride, cx//stride), whose
     window spans [A*stride - r, A*stride + stride-1 + r] — lane
     (ry + dy + r, rx + dx + r) with (ry, rx) = (cy, cx) % stride holds
-    exactly the clamped texel (cy+dy, cx+dx).  For 2048^2 at r=2, s=4:
-    67MB instead of 420MB.  Packing is stride^2-subsampled shifted copies
+    exactly the clamped texel (cy+dy, cx+dx).  For 2048^2 at r=2: stride 4
+    = 67MB, stride 8 = 38MB instead of 420MB (measured best total at 1080p:
+    stride 8 -> pack 8.8ms + visibility 14.2ms vs per-texel 6ms + 85ms).  Packing is stride^2-subsampled shifted copies
     (VPU/HBM friendly), rebuilt once per shadow-map render."""
     if 2 * radius > stride:
         raise ValueError("pack_shadow_taps needs 2*radius <= stride so a "
@@ -84,10 +89,15 @@ def make_shadow_context(
     strength: float = 1.0,
     pcf_radius: int = 2,
     pcf_step: int = 1,
+    tap_stride: int = 4,
 ) -> ShadowContext:
-    tap_stride = 4
     taps = pack_shadow_taps(depth, pcf_radius, tap_stride) \
         if (pcf_radius > 0 and pcf_step == 1) else None
+    if taps is not None and TAPS_BARRIER:
+        # Force the window table to MATERIALIZE contiguously before any
+        # consumer, so the visibility gather never reads a fused strided
+        # view of the padded block assembly (see module flag).
+        taps = jax.lax.optimization_barrier(taps)
     return ShadowContext(
         depth=depth,
         light_viewproj=jnp.asarray(light_viewproj, jnp.float32),

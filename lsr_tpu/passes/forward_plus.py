@@ -78,6 +78,15 @@ def shade_forward_plus(
         albedo = jnp.maximum(albedo, 0.0)
 
         n = _norm(gb.normal_ws)
+        if ctx.surface_maps:
+            from lsr_tpu.shading.common import (
+                apply_surface_maps, gather_material_texture_slots)
+
+            ntex, otex, etex = gather_material_texture_slots(
+                ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+            n, metal, rough, ao, emissive = apply_surface_maps(
+                ctx.textures, ctx.texture_quads, gb.uv, gb.tangent, n,
+                ntex, otex, etex, metal, rough, ao, emissive)
         if ctx.shadow is not None:
             l_dir = _norm(-ctx.light_dir_ws)
             ndl = jnp.maximum(jnp.sum(n * l_dir[None, None], -1), 0.0)
@@ -108,6 +117,26 @@ def shade_forward_plus(
         return hdr, {"max_lights_per_bin": bin_stats["max_count"],
                      "overflow_bins": bin_stats["overflow_bins"],
                      "total_bins": 0}
+
+    # Surface maps on the XLA path: perturb the G-buffer normal in place so
+    # the sun model AND the local light loop both see the mapped normal
+    # (ORM/emissive modulation is fully wired on the kernel path above).
+    if ctx.surface_maps:
+        import dataclasses as _dc
+
+        from lsr_tpu.shading.common import (
+            apply_surface_maps, gather_material_texture_slots)
+        from lsr_tpu.shading.models import _norm as _nrm
+
+        _, metal0, rough0, ao0, em0, _ = gather_materials(
+            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+        ntex, otex, etex = gather_material_texture_slots(
+            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+        n_mapped, _, _, _, _ = apply_surface_maps(
+            ctx.textures, ctx.texture_quads, gb.uv, gb.tangent,
+            _nrm(gb.normal_ws), ntex, otex, etex,
+            metal0, rough0, ao0, em0)
+        gb = _dc.replace(gb, normal_ws=n_mapped)
 
     # Sun + ambient/IBL via the built-in single-light models.
     base = SHADING_MODELS[sun_model](gb, ctx)

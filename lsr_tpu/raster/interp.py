@@ -22,7 +22,7 @@ from lsr_tpu.raster.setup import TriSetup
     jax.tree_util.register_dataclass,
     data_fields=[
         "world_pos", "normal_ws", "uv", "depth01", "obj_id", "covered",
-        "bary", "face_normal", "tri_id", "mat",
+        "bary", "face_normal", "tri_id", "mat", "tangent",
     ],
     meta_fields=[],
 )
@@ -43,6 +43,8 @@ class GBuffer:
                                     # (pack_material_records layout), baked
                                     # into the interp gather when materials
                                     # are passed to interpolate_gbuffer
+    tangent: jnp.ndarray | None = None  # (H, W, 3) per-triangle world
+                                        # tangent (normal-mapping TBN)
 
 
 def pack_interp_records(setup: TriSetup, materials=None):
@@ -55,9 +57,23 @@ def pack_interp_records(setup: TriSetup, materials=None):
     making the shading-time material lookup free.
 
     Layout: [0:9] coef | [9:12] iw | [12:21] wp | [21:30] nw | [30:36] uv |
-            [36] obj_id | [37:40] pad | [40:56] material (optional).
+            [36] obj_id | [37:40] tangent | [40:56] material (optional).
     """
     n = setup.coef.shape[0]
+    # Per-triangle world tangent from uv-space edge derivatives (the
+    # standard TBN construction; flat per face, orthogonalized against the
+    # smooth normal at the pixel in apply_surface_maps).
+    e1 = setup.wp[:, 1] - setup.wp[:, 0]
+    e2 = setup.wp[:, 2] - setup.wp[:, 0]
+    duv1 = setup.uv[:, 1] - setup.uv[:, 0]
+    duv2 = setup.uv[:, 2] - setup.uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[:, None]
+    tangent = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * inv
+    # Degenerate uv mapping: fall back to the first edge direction.
+    tangent = jnp.where(ok[:, None], tangent, e1)
+
     cols = [
         setup.coef,
         setup.iw,
@@ -65,7 +81,7 @@ def pack_interp_records(setup: TriSetup, materials=None):
         setup.nw.reshape(n, 9),
         setup.uv.reshape(n, 6),
         setup.obj_id.astype(jnp.float32)[:, None],
-        jnp.zeros((n, 3), jnp.float32),
+        tangent,
     ]
     if materials is not None:
         from lsr_tpu.shading.common import pack_material_records
@@ -75,12 +91,15 @@ def pack_interp_records(setup: TriSetup, materials=None):
 
 
 def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0,
-                        materials=None) -> GBuffer:
+                        materials=None, want_face_normal: bool = True) -> GBuffer:
     """Gather per-pixel triangle data and interpolate attributes.
 
     y_offset: global row of this band's first row (screen-space sharding).
     materials: optional MaterialsSoA — bakes per-pixel material records into
-    the same gather (GBuffer.mat)."""
+    the same gather (GBuffer.mat).
+    want_face_normal=False skips the geometric-normal cross products (only
+    flat shading and debug views read GBuffer.face_normal; the forward+
+    path doesn't — saves a few ms/frame at 1080p)."""
     h, w = tid.shape
     covered = tid >= 0
     safe = jnp.where(covered, tid, 0)
@@ -117,14 +136,18 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0,
     uv = interp(rec[..., 30:36], 2)
     obj = jnp.where(covered, rec[..., 36].astype(jnp.int32), -1)
 
-    # Geometric per-face normal from the world-space corners (flat shading).
-    corners = rec[..., 12:21].reshape(rec.shape[:-1] + (3, 3))  # (H, W, 3, 3)
-    fn = jnp.cross(corners[..., 1, :] - corners[..., 0, :],
-                   corners[..., 2, :] - corners[..., 0, :])
-    fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
-    # Orient toward the smooth normal so winding doesn't flip lighting.
-    flip = jnp.sum(fn * nw, axis=-1, keepdims=True) < 0.0
-    fn = jnp.where(flip, -fn, fn)
+    if want_face_normal:
+        # Geometric per-face normal from world-space corners (flat shading).
+        corners = rec[..., 12:21].reshape(rec.shape[:-1] + (3, 3))
+        fn = jnp.cross(corners[..., 1, :] - corners[..., 0, :],
+                       corners[..., 2, :] - corners[..., 0, :])
+        fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True),
+                              1e-12)
+        # Orient toward the smooth normal so winding doesn't flip lighting.
+        flip = jnp.sum(fn * nw, axis=-1, keepdims=True) < 0.0
+        fn = jnp.where(flip, -fn, fn)
+    else:
+        fn = nw
 
     return GBuffer(
         world_pos=wp,
@@ -137,4 +160,5 @@ def interpolate_gbuffer(setup: TriSetup, depth01, tid, y_offset=0,
         face_normal=fn,
         tri_id=tid,
         mat=rec[..., 40:56] if materials is not None else None,
+        tangent=rec[..., 37:40],
     )

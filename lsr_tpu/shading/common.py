@@ -18,19 +18,30 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["base_color", "metallic", "roughness", "ao", "emissive", "tex_id"],
+    data_fields=["base_color", "metallic", "roughness", "ao", "emissive",
+                 "tex_id", "normal_tex", "orm_tex", "emissive_tex"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class MaterialsSoA:
-    """Per-object material table (analog of MaterialData, resources/material.hpp:22)."""
+    """Per-object material table (analog of MaterialData, resources/material.hpp:22).
+
+    The four texture slots mirror MaterialData's base_color_tex / normal_tex
+    / orm_tex / emissive_tex (material.hpp:36-39); all index the ONE shared
+    texture array of the shade context (-1 = slot unused).  Normal maps are
+    tangent-space (x,y,z in [0,1]); ORM follows the glTF layout
+    (R=occlusion, G=roughness, B=metallic) and multiplies the scalar
+    factors; the emissive map multiplies `emissive`."""
 
     base_color: jnp.ndarray  # (O, 3) linear
     metallic: jnp.ndarray    # (O,)
     roughness: jnp.ndarray   # (O,)
     ao: jnp.ndarray          # (O,)
     emissive: jnp.ndarray    # (O, 3)
-    tex_id: jnp.ndarray      # (O,) i32 into the texture array; -1 = none
+    tex_id: jnp.ndarray      # (O,) i32 base-color texture; -1 = none
+    normal_tex: jnp.ndarray  # (O,) i32 tangent-space normal map; -1 = none
+    orm_tex: jnp.ndarray     # (O,) i32 occlusion/roughness/metallic map
+    emissive_tex: jnp.ndarray  # (O,) i32 emissive map; -1 = none
 
 
 def make_materials(
@@ -40,16 +51,20 @@ def make_materials(
     ao=(1.0,),
     emissive=None,
     tex_id=None,
+    normal_tex=None,
+    orm_tex=None,
+    emissive_tex=None,
 ) -> MaterialsSoA:
     base_color = jnp.asarray(base_color, jnp.float32)
     o = base_color.shape[0]
     if emissive is None:
         emissive = jnp.zeros((o, 3), jnp.float32)
-    if tex_id is None:
-        tex_id = jnp.full((o,), -1, jnp.int32)
 
     def bcast(x, dt=jnp.float32):
         return jnp.broadcast_to(jnp.asarray(x, dt), (o,))
+
+    def tex_col(x):
+        return bcast(-1 if x is None else x, jnp.int32)
 
     return MaterialsSoA(
         base_color=base_color,
@@ -57,7 +72,10 @@ def make_materials(
         roughness=bcast(roughness),
         ao=bcast(ao),
         emissive=jnp.broadcast_to(jnp.asarray(emissive, jnp.float32), (o, 3)),
-        tex_id=bcast(tex_id, jnp.int32),
+        tex_id=tex_col(tex_id),
+        normal_tex=tex_col(normal_tex),
+        orm_tex=tex_col(orm_tex),
+        emissive_tex=tex_col(emissive_tex),
     )
 
 
@@ -68,7 +86,8 @@ def _norm(v, eps=1e-12):
 def pack_material_records(m: MaterialsSoA):
     """(O, 16) packed record: one wide per-pixel gather beats per-column
     gathers by ~10x on TPU.  Layout: [0:3] base_color | [3] metallic |
-    [4] roughness | [5] ao | [6:9] emissive | [9] tex_id | [10:16] pad."""
+    [4] roughness | [5] ao | [6:9] emissive | [9] tex_id | [10] normal_tex |
+    [11] orm_tex | [12] emissive_tex | [13:16] pad."""
     o = m.base_color.shape[0]
     return jnp.concatenate(
         [
@@ -76,7 +95,10 @@ def pack_material_records(m: MaterialsSoA):
             m.metallic[:, None], m.roughness[:, None], m.ao[:, None],
             m.emissive,
             m.tex_id.astype(jnp.float32)[:, None],
-            jnp.zeros((o, 6), jnp.float32),
+            m.normal_tex.astype(jnp.float32)[:, None],
+            m.orm_tex.astype(jnp.float32)[:, None],
+            m.emissive_tex.astype(jnp.float32)[:, None],
+            jnp.zeros((o, 3), jnp.float32),
         ],
         axis=-1,
     )
@@ -99,6 +121,49 @@ def gather_materials(m: MaterialsSoA, obj_id, mat_rec=None):
         rec[..., 6:9],
         rec[..., 9].astype(jnp.int32),
     )
+
+
+def gather_material_texture_slots(m: MaterialsSoA, obj_id, mat_rec=None):
+    """(normal_tex, orm_tex, emissive_tex) per pixel from the packed record
+    lanes 10-12 (material.hpp:37-39 slots)."""
+    from lsr_tpu.core.gather import take_rows
+
+    rec = mat_rec if mat_rec is not None \
+        else take_rows(pack_material_records(m), jnp.maximum(obj_id, 0))
+    return (rec[..., 10].astype(jnp.int32),
+            rec[..., 11].astype(jnp.int32),
+            rec[..., 12].astype(jnp.int32))
+
+
+def apply_surface_maps(textures, quads, uv, tangent, n,
+                       normal_tex, orm_tex, emissive_tex,
+                       metallic, roughness, ao, emissive):
+    """Apply the normal / ORM / emissive texture slots per pixel.
+
+    Normal mapping (the missing half of SURVEY §7 step 4; config 2 includes
+    "texture + normal mapping"): per-triangle tangent (GBuffer.tangent) is
+    Gram-Schmidt-orthogonalized against the interpolated normal, the
+    bitangent completes the TBN frame, and the tangent-space sample
+    (x,y,z in [0,1] -> [-1,1]) rotates into world space.  ORM and emissive
+    maps multiply their factors; unused slots sample 1.0 so they are
+    identity without masking.
+
+    Returns (n', metallic', roughness', ao', emissive')."""
+    t = tangent - n * jnp.sum(n * tangent, -1, keepdims=True)
+    t = _norm(t)
+    b = jnp.cross(n, t)
+    ts = sample_texture_bilinear(textures, normal_tex, uv, quads) * 2.0 - 1.0
+    n_mapped = _norm(
+        t * ts[..., 0:1] + b * ts[..., 1:2] + n * ts[..., 2:3])
+    n_out = jnp.where((normal_tex >= 0)[..., None], n_mapped, n)
+
+    orm = sample_texture_bilinear(textures, orm_tex, uv, quads)
+    ao_out = ao * orm[..., 0:1]
+    rough_out = roughness * orm[..., 1:2]
+    metal_out = metallic * orm[..., 2:3]
+
+    em = sample_texture_bilinear(textures, emissive_tex, uv, quads)
+    return n_out, metal_out, rough_out, ao_out, emissive * em
 
 
 def pack_texture_quads(textures):
@@ -194,3 +259,20 @@ def checkerboard_texture(size: int = 64, squares: int = 8,
     cell = ((xx * squares // size) + (yy * squares // size)) % 2
     tex = np.where(cell[..., None] == 0, np.float32(c0), np.float32(c1))
     return tex.astype(np.float32)
+
+
+def bump_normal_texture(size: int = 128, bumps: int = 6,
+                        amplitude: float = 0.8) -> np.ndarray:
+    """Host-side tangent-space normal map: a grid of cosine bumps.
+
+    Returns (size, size, 3) in [0,1] encoding (x,y,z in [-1,1]) — the
+    standard normal-map convention apply_surface_maps decodes.  Data is
+    LINEAR (never sRGB-decode a normal map on upload)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    phase = 2.0 * np.pi * bumps
+    # height = sum of cosine bumps; analytic derivatives give the slope.
+    dhdx = amplitude * np.sin(phase * xx) * phase / size * 8.0
+    dhdy = amplitude * np.sin(phase * yy) * phase / size * 8.0
+    n = np.stack([-dhdx, -dhdy, np.ones_like(dhdx)], -1)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n * 0.5 + 0.5).astype(np.float32)

@@ -34,7 +34,7 @@ _PI = 3.14159265358979
         "light_dir_ws", "light_color", "light_intensity", "camera_pos",
         "materials", "textures", "shadow", "texture_quads", "ibl",
     ],
-    meta_fields=[],
+    meta_fields=["surface_maps"],
 )
 @dataclasses.dataclass(frozen=True)
 class ShadeContext:
@@ -50,6 +50,9 @@ class ShadeContext:
     shadow: ShadowContext | None = None
     texture_quads: jnp.ndarray | None = None  # pack_texture_quads(textures)
     ibl: tuple | None = None  # (irradiance_faces, (prefiltered mips...))
+    surface_maps: bool = False  # STATIC: any normal/ORM/emissive slot used
+                                # (set by make_shade_context; gates the
+                                # extra texture gathers per frame)
 
 
 def make_shade_context(
@@ -62,8 +65,15 @@ def make_shade_context(
     shadow=None,
     ibl=None,
 ) -> ShadeContext:
+    import numpy as np
+
     from lsr_tpu.shading.common import pack_texture_quads
 
+    surface_maps = textures is not None and bool(
+        (np.asarray(materials.normal_tex) >= 0).any()
+        or (np.asarray(materials.orm_tex) >= 0).any()
+        or (np.asarray(materials.emissive_tex) >= 0).any()
+    )
     return ShadeContext(
         light_dir_ws=jnp.asarray(light_dir_ws, jnp.float32),
         light_color=jnp.asarray(light_color, jnp.float32),
@@ -74,6 +84,7 @@ def make_shade_context(
         shadow=shadow,
         texture_quads=None if textures is None else pack_texture_quads(textures),
         ibl=ibl,
+        surface_maps=surface_maps,
     )
 
 
