@@ -352,6 +352,40 @@ def combine_local_light(albedo, diffuse, specular):
     return albedo * diffuse + specular
 
 
+def eval_env_probes(lights: LightsSoA, world_pos, ambient,
+                    max_probes: int = 8):
+    """Localized-IBL environment probes (LIGHT_ENV_PROBE rows).
+
+    The reference enumerates EnvironmentProbe as a light type
+    (light_types.hpp:31, named at :74) but never evaluates it in any
+    shader; this is our completion of that surface: a probe is a sphere of
+    influence (position, range) inside which the frame's IBL/fake-IBL
+    ambient term is re-emitted scaled by the probe's color * intensity with
+    a smoothstep falloff — localized image-based ambience.
+
+    ambient: the (H, W, 3) ambient term already computed from the context's
+    IBL maps.  Returns the ADDITIVE probe contribution (H, W, 3); up to
+    `max_probes` enabled probe rows are honored (static bound).
+    """
+    from lsr_tpu.lighting.light_types import LIGHT_ENV_PROBE
+
+    is_probe = (lights.type == LIGHT_ENV_PROBE) & lights.enabled
+    order = jnp.argsort(jnp.where(is_probe, 0, 1),
+                        stable=True)[:max_probes]           # probe rows first
+    pos = lights.position[order]                            # (K, 3)
+    rng = jnp.maximum(lights.range[order], 1e-3)
+    gain = (jnp.maximum(lights.color[order], 0.0)
+            * jnp.maximum(lights.intensity[order], 0.0)[:, None])
+    valid = is_probe[order].astype(jnp.float32)             # (K,)
+
+    d = jnp.linalg.norm(
+        world_pos[..., None, :] - pos[None, None, :, :], axis=-1)  # (H,W,K)
+    t = jnp.clip(1.0 - d / rng[None, None, :], 0.0, 1.0)
+    w = t * t * (3.0 - 2.0 * t) * valid[None, None, :]
+    mod = jnp.einsum("hwk,kc->hwc", w, gain)
+    return ambient * mod
+
+
 # ---------------------------------------------------------------------------
 # Per-object light selection + light motion (light_runtime.hpp:537-632)
 # ---------------------------------------------------------------------------

@@ -105,6 +105,13 @@ class LightSetBuilder:
                          tube_half_length=half_length, tube_radius=radius,
                          color=color, intensity=intensity, range=range, **kw)
 
+    def env_probe(self, position, color=(1, 1, 1), intensity=1.0, range=5.0,
+                  **kw):
+        """Localized-IBL probe (EnvironmentProbe, light_types.hpp:31);
+        evaluated by light_runtime.eval_env_probes."""
+        return self._add(type=LIGHT_ENV_PROBE, position=position, color=color,
+                         intensity=intensity, range=range, **kw)
+
     def build(self, pad_to: int | None = None) -> LightsSoA:
         rows = list(self._rows)
         n = len(rows)

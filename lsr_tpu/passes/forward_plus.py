@@ -27,7 +27,8 @@ from lsr_tpu.shading.models import SHADING_MODELS, composite_over_background
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "cap", "chunk",
-                     "mode", "slices", "sun_model", "use_kernel"),
+                     "mode", "slices", "sun_model", "use_kernel",
+                     "env_probes"),
 )
 def shade_forward_plus(
     gb,
@@ -48,6 +49,7 @@ def shade_forward_plus(
     background=(0.04, 0.06, 0.1),
     use_kernel: bool = True,
     local_shadows=None,
+    env_probes: bool = False,
 ):
     """Full lit HDR frame from a G-buffer + light set.
 
@@ -111,6 +113,10 @@ def shade_forward_plus(
         )
         v = _norm(ctx.camera_pos[None, None, :] - gb.world_pos)
         amb = _ambient(ctx, n, v, albedo, metal, rough, ao) + emissive
+        if env_probes:
+            from lsr_tpu.lighting.light_runtime import eval_env_probes
+
+            amb = amb + eval_env_probes(lights, gb.world_pos, amb - emissive)
         hdr = lit + jnp.where(gb.covered[..., None], amb, 0.0)
         bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), hdr.shape)
         hdr = composite_over_background(hdr, gb, bg)
@@ -191,6 +197,18 @@ def shade_forward_plus(
     local = jnp.maximum(albedo, 0.0) * diff + spec
 
     hdr = base + local
+    if env_probes:
+        from lsr_tpu.lighting.light_runtime import eval_env_probes
+        from lsr_tpu.shading.models import _ambient as _amb_fn, _norm as _n
+
+        nrm = _n(gb.normal_ws)
+        vv = _n(ctx.camera_pos[None, None, :] - gb.world_pos)
+        _, metal_a, rough_a, ao_a, _, _ = gather_materials(
+            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+        amb_base = _amb_fn(ctx, nrm, vv, jnp.maximum(albedo, 0.0),
+                           metal_a, rough_a, ao_a)
+        probe = eval_env_probes(lights, gb.world_pos, amb_base)
+        hdr = hdr + jnp.where(gb.covered[..., None], probe, 0.0)
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), hdr.shape)
     hdr = composite_over_background(hdr, gb, bg)
     stats = {"max_lights_per_bin": bin_stats["max_count"],
