@@ -92,6 +92,100 @@ def run_dryrun(n_devices: int) -> None:
     print(f"dryrun_multichip ok: mesh dp={dp} sp={sp}, out {out.shape}, "
           f"bit-exact vs single-device")
 
+    run_flagship_dryrun(n_devices)
+
+
+def run_flagship_dryrun(n_devices: int) -> None:
+    """The FULL flagship frame (sun shadow + forward+ + tonemap + FXAA)
+    jitted over the ("dp","sp") mesh: shadow bands assembled with
+    all_gather, FXAA halos exchanged with ppermute — then checked bit-exact
+    against the same composition on a 1-device mesh, with per-mesh-shape
+    step timings appended to artifacts/multichip_scaling.jsonl."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsr_tpu.core import math3d as m3
+    from lsr_tpu.io.obj import make_cube, make_plane
+    from lsr_tpu.lighting.light_types import LightSetBuilder
+    from lsr_tpu.parallel.sharding import make_mesh, make_sharded_flagship
+    from lsr_tpu.scene.scene import SceneBuilder, make_camera
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    width = height = 128
+    shadow_size = 256
+
+    sb = SceneBuilder()
+    sb.add(make_cube(1.1), np.asarray(
+        m3.translate([0.0, 0.3, 0.0]) @ m3.rotate_y(0.4)))
+    sb.add(make_plane(5.0, y=-1.0), material=1, casts_shadow=False)
+    geom, objects = sb.build()
+    mats = make_materials(base_color=[(0.8, 0.5, 0.3), (0.5, 0.55, 0.6)],
+                          roughness=[0.4, 0.8])
+    ctx = make_shade_context(mats, light_dir_ws=(0.35, -0.7, 0.5),
+                             camera_pos=(0.5, 1.8, -3.5), light_intensity=2.0)
+    lb = LightSetBuilder()
+    rng = np.random.default_rng(2)
+    for _ in range(12):
+        lb.point(tuple(rng.uniform([-2, 0.2, -2], [2, 1.5, 2]).tolist()),
+                 color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
+                 intensity=1.5, range=2.0)
+    lights = lb.build()
+    sun = jnp.asarray([0.35, -0.7, 0.5], jnp.float32)
+
+    def run_on(mesh):
+        dp = mesh.shape["dp"]
+        step = make_sharded_flagship(
+            mesh, geom, objects, ctx, lights, width, height,
+            shadow_size=shadow_size)
+        cams = [make_camera(width, height,
+                            (np.sin(a) * -3.5, 1.8, np.cos(a) * -3.5),
+                            (0, 0, 0))
+                for a in np.linspace(0.0, 0.5, dp)]
+        vps = jnp.stack([c.viewproj for c in cams])
+        views = jnp.stack([c.view for c in cams])
+        out = jax.block_until_ready(step(
+            vps, views, cams[0].proj, cams[0].zn, cams[0].zf, sun))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = step(vps, views, cams[0].proj, cams[0].zn, cams[0].zf, sun)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / 3 * 1000
+        return np.asarray(out), ms
+
+    ref, _ = run_on(make_mesh(1))
+    rows = []
+    shapes = [(1, n_devices)]
+    if n_devices % 2 == 0 and n_devices >= 4:
+        shapes.append((2, n_devices // 2))
+    for dp, sp in shapes:
+        mesh = make_mesh(dp * sp, dp=dp)
+        out, ms = run_on(mesh)
+        assert out.shape == (dp, height, width, 3), out.shape
+        assert (out[0] == ref[0]).all(), (
+            f"flagship dp={dp} sp={sp} differs from the 1-device frame")
+        rows.append({"phase": "multichip", "dp": dp, "sp": sp,
+                     "w": width, "h": height, "shadow": shadow_size,
+                     "step_ms": round(ms, 2),
+                     "platform": jax.devices()[0].platform})
+        print(f"flagship dryrun ok: dp={dp} sp={sp} "
+              f"(shadow all_gather + fxaa ppermute halos, bit-exact), "
+              f"{ms:.1f} ms/step")
+    try:
+        path = "artifacts/multichip_scaling.jsonl"
+        import os as _os
+
+        _os.makedirs("artifacts", exist_ok=True)
+        with open(path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    except OSError:
+        pass
+
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8

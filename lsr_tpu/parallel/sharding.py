@@ -82,6 +82,147 @@ def render_band(geom, objects, viewproj, zn, zf, shade_ctx,
     return tonemap_pass(hdr)
 
 
+def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
+                          width: int, height: int, shadow_size: int = 256,
+                          tile_size: int = 16, model_name: str = "pbr_mr"):
+    """Full flagship frame (sun shadow + forward+ + tonemap + FXAA) sharded
+    over a ("dp", "sp") mesh — the multi-chip composition of the whole
+    pipeline, not just the raster smoke test:
+
+    - The 2048^2-class sun shadow map is itself rendered in sp ROW BANDS and
+      assembled with ONE `lax.all_gather` over the "sp" axis (ICI), because
+      every band's PCF sampling needs the full map.
+    - Screen rows shard over "sp" (band raster + interp + shadow visibility
+      + binned light accumulation on band-sliced tile lists); cameras shard
+      over "dp".
+    - FXAA exchanges 1-row halos with `lax.ppermute` between band
+      neighbors, so the sharded post-process is BIT-EXACT vs single device
+      (frame borders clamp exactly like the unsharded pass).
+
+    Input: viewprojs (B,4,4), views (B,4,4), proj (4,4), zn, zf,
+    sun_dir (3,).  Output: (B, height, width, 3) u8 sharded (dp, sp).
+    """
+    import dataclasses as _dc
+
+    from jax import lax
+
+    from lsr_tpu.camera.light_camera import build_dir_light_camera
+    from lsr_tpu.lighting.light_culling import cull_lights_tiled
+    from lsr_tpu.lighting.light_runtime import accumulate_local_lights
+    from lsr_tpu.lighting.shadow_sample import (
+        make_shadow_context, shadow_visibility_dir)
+    from lsr_tpu.passes.post import fxaa_pass
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import shadow_caster_aabb
+    from lsr_tpu.shading.common import gather_materials
+    from lsr_tpu.shading.models import (
+        SHADING_MODELS, composite_over_background, _norm)
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert height % sp == 0 and (height // sp) % tile_size == 0, (
+        "height must split into sp bands of whole light tiles")
+    assert shadow_size % sp == 0
+    band_h = height // sp
+    sm_band_h = shadow_size // sp
+    tiles_x = -(-width // tile_size)
+    tiles_y = height // tile_size
+    band_tiles_y = band_h // tile_size
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(viewprojs, views, proj, zn, zf, sun_dir):
+        def shard_fn(vp_local, view_local):
+            sp_idx = jax.lax.axis_index("sp")
+
+            # --- sun shadow map: band raster + all_gather ----------------
+            smin, smax = shadow_caster_aabb(objects)
+            _, _, light_vp = build_dir_light_camera(
+                smin, smax, sun_dir, shadow_size)
+            caster_mask = objects.casts_shadow & objects.visible
+            sm_setup = scene_setup(
+                geom.positions, geom.normals, geom.uvs, geom.indices,
+                geom.vtx_obj, geom.tri_obj, objects.model,
+                objects.normal_mat, light_vp, shadow_size, shadow_size,
+                cull_mode=CULL_NONE, obj_visible=caster_mask)
+            sm_band, _, _ = rasterize_direct(
+                sm_setup, shadow_size, sm_band_h, jnp.float32(0.0),
+                jnp.float32(1.0), depth_mode=DEPTH_NDC01, track_ids=False,
+                y_offset=sp_idx * sm_band_h, full_height=shadow_size)
+            sm_full = lax.all_gather(
+                sm_band, "sp", axis=0, tiled=True)       # (S, S) everywhere
+            shadow_ctx = make_shadow_context(sm_full, light_vp,
+                                             pcf_radius=2)
+            ctx_sh = _dc.replace(shade_ctx, shadow=shadow_ctx)
+
+            def one(vp, view):
+                y0 = sp_idx * band_h
+                setup = scene_setup(
+                    geom.positions, geom.normals, geom.uvs, geom.indices,
+                    geom.vtx_obj, geom.tri_obj, objects.model,
+                    objects.normal_mat, vp, width, height,
+                    obj_visible=objects.visible)
+                depth, tid, _ = rasterize_direct(
+                    setup, width, band_h, zn, zf,
+                    y_offset=y0, full_height=height)
+                gb = interpolate_gbuffer(setup, depth, tid, y_offset=y0,
+                                         materials=ctx_sh.materials)
+
+                # Sun + ambient on the band (shadow visibility included via
+                # ctx.shadow inside the shading model).
+                base = SHADING_MODELS[model_name](gb, ctx_sh)
+
+                # Full-frame tile lists (replicated compute), band rows
+                # sliced — identical culling to the unsharded frame.
+                lists, counts, _ = cull_lights_tiled(
+                    lights, view, proj, width, height, tile_size=tile_size,
+                    cap=64)
+                band_lists = jax.lax.dynamic_slice_in_dim(
+                    lists.reshape(tiles_y, tiles_x, -1),
+                    sp_idx * band_tiles_y, band_tiles_y, axis=0)
+                band_lists = band_lists.reshape(
+                    band_tiles_y * tiles_x, -1)
+                diff, spec = accumulate_local_lights(
+                    gb.world_pos, gb.normal_ws, ctx_sh.camera_pos, lights,
+                    band_lists, width, band_h, tile_size=tile_size)
+                albedo, _, _, _, _, _ = gather_materials(
+                    ctx_sh.materials, gb.obj_id, mat_rec=gb.mat)
+                hdr = base + jnp.maximum(albedo, 0.0) * diff + spec
+                bg = jnp.broadcast_to(
+                    jnp.asarray((0.04, 0.06, 0.1), jnp.float32), hdr.shape)
+                hdr = composite_over_background(hdr, gb, bg)
+                ldr = tonemap_pass(hdr)
+
+                # FXAA with 1-row ppermute halos (bit-exact vs unsharded).
+                up = lax.ppermute(ldr[-1:], "sp",
+                                  [(i, i + 1) for i in range(sp - 1)])
+                down = lax.ppermute(ldr[:1], "sp",
+                                    [(i + 1, i) for i in range(sp - 1)])
+                top = jnp.where(sp_idx == 0, ldr[:1], up)
+                bottom = jnp.where(sp_idx == sp - 1, ldr[-1:], down)
+                padded = jnp.concatenate([top, ldr, bottom], axis=0)
+                return fxaa_pass(padded)[1:-1]
+
+            return jax.vmap(one)(vp_local, view_local)
+
+        out = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=P("dp", "sp"),
+            check_vma=False,
+        )(viewprojs, views)
+        return out
+
+    in_sharding = (NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("dp")),
+                   None, None, None, None)
+    out_sharding = NamedSharding(mesh, P("dp", "sp"))
+    return jax.jit(step, in_shardings=in_sharding,
+                   out_shardings=out_sharding)
+
+
 def make_sharded_render(mesh: Mesh, geom, objects, shade_ctx,
                         width: int, height: int,
                         model_name: str = "blinn_phong", cap: int = 512):
