@@ -63,3 +63,48 @@ def test_sharded_render_8_devices():
             cap=256))
         mismatch = (out[i] != ref).sum()
         assert mismatch == 0, f"camera {i}: {mismatch} byte mismatches"
+
+
+def test_sharded_flagship_bit_exact():
+    """Full flagship composition (shadow all_gather + forward+ + FXAA with
+    ppermute halos) over (2,4) must match the (1,1) mesh bit-exactly."""
+    import jax.numpy as jnp
+
+    from lsr_tpu.io.obj import make_plane
+    from lsr_tpu.lighting.light_types import LightSetBuilder
+    from lsr_tpu.parallel.sharding import make_sharded_flagship
+
+    b = SceneBuilder()
+    b.add(make_cube(1.1), np.asarray(m3.translate([0, 0.3, 0]) @ m3.rotate_y(0.4)))
+    b.add(make_plane(5.0, y=-1.0), material=0, casts_shadow=False)
+    geom, objects = b.build()
+    mats = make_materials(base_color=[(0.8, 0.5, 0.3)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.35, -0.7, 0.5),
+                             camera_pos=(0.5, 1.8, -3.5), light_intensity=2.0)
+    lb = LightSetBuilder()
+    rng = np.random.default_rng(2)
+    for _ in range(8):
+        lb.point(tuple(rng.uniform([-2, 0.2, -2], [2, 1.5, 2]).tolist()),
+                 intensity=1.5, range=2.0)
+    lights = lb.build()
+    sun = jnp.asarray([0.35, -0.7, 0.5], jnp.float32)
+
+    w = h = 128
+
+    def run(mesh):
+        dp = mesh.shape["dp"]
+        step = make_sharded_flagship(mesh, geom, objects, ctx, lights, w, h,
+                                     shadow_size=256)
+        cams = [make_camera(w, h, (np.sin(a) * -3.5, 1.8, np.cos(a) * -3.5),
+                            (0, 0, 0))
+                for a in np.linspace(0.0, 0.5, dp)]
+        vps = jnp.stack([c.viewproj for c in cams])
+        views = jnp.stack([c.view for c in cams])
+        return np.asarray(step(vps, views, cams[0].proj, cams[0].zn,
+                               cams[0].zf, sun))
+
+    ref = run(make_mesh(1))
+    out = run(make_mesh(8))  # dp=2, sp=4 under the forced 8-device CPU mesh
+    assert out.shape[1:] == ref.shape[1:]
+    np.testing.assert_array_equal(out[0], ref[0])
+    assert out[0].any(), "empty flagship frame"
