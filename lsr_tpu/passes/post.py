@@ -116,11 +116,22 @@ def motion_blur_pass(ldr_u8, depth01, velocity, dt,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(jax.jit, static_argnames=("steps", "log_march"))
 def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
                       steps: int = 48, density: float = 0.8,
-                      weight: float = 0.9, decay: float = 0.95):
-    """Radial god-ray march toward the projected sun (pass_light_shafts.hpp)."""
+                      weight: float = 0.9, decay: float = 0.95,
+                      log_march: bool = True):
+    """Radial god-ray march toward the projected sun (pass_light_shafts.hpp).
+
+    log_march=True (default) runs the march as log2(N) ZOOM-COMPOSE passes
+    instead of N per-step gathers: each pass adds a decayed, sun-zoomed
+    copy of its own accumulation, so pass k contributes samples at every
+    index j with weight decay^j and position t_j = 1-(1-d)^j (geometric
+    spacing toward the sun; zoom maps compose as 1-(1-a)(1-b)).  That is
+    2^ceil(log2 steps) effective taps from ~6 gathers — the gather count
+    was the entire cost of this pass on TPU (48 gathers ~ 150ms at 800x600
+    in round 1).  The reference's linear-t spacing is available with
+    log_march=False."""
     h, w = depth01.shape
     src = ldr_u8.astype(jnp.float32)
 
@@ -143,16 +154,40 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
     u = jnp.arange(w, dtype=jnp.float32)[None, :] / max(1, w - 1)
     v = jnp.arange(h, dtype=jnp.float32)[:, None] / max(1, h - 1)
 
-    accum = jnp.zeros((h, w), jnp.float32)
-    illum = 1.0
-    for i in range(steps):
-        t = i / steps
-        su = u + (sun_u - u) * (t * density)
-        sv = v + (sun_v - v) * (t * density)
-        sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
-        sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
-        accum = accum + take_rows(luma.reshape(-1), sy * w + sx) * (illum * weight)
-        illum = illum * decay
+    if log_march:
+        import math
+
+        k_passes = max(1, math.ceil(math.log2(max(steps, 2))))
+        n = 2 ** k_passes
+        dens = min(float(density), 0.99)
+        delta = 1.0 - (1.0 - dens) ** (1.0 / max(n - 1, 1))
+
+        accum = luma * weight  # j = 0 term
+        for k in range(k_passes):
+            tk = 1.0 - (1.0 - delta) ** (2 ** k)
+            wk = decay ** (2 ** k)
+            su = u + (sun_u - u) * tk
+            sv = v + (sun_v - v) * tk
+            sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
+            sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
+            accum = accum + wk * take_rows(accum.reshape(-1), sy * w + sx)
+        # Keep overall energy comparable to the linear march: the linear sum
+        # of `steps` decayed taps vs 2^K; rescale by the weight-sum ratio.
+        lin_sum = sum(decay ** i for i in range(steps))
+        log_sum = sum(decay ** i for i in range(n))
+        accum = accum * (lin_sum / log_sum)
+    else:
+        accum = jnp.zeros((h, w), jnp.float32)
+        illum = 1.0
+        for i in range(steps):
+            t = i / steps
+            su = u + (sun_u - u) * (t * density)
+            sv = v + (sun_v - v) * (t * density)
+            sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
+            sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
+            accum = accum + take_rows(luma.reshape(-1), sy * w + sx) \
+                * (illum * weight)
+            illum = illum * decay
 
     boost = jnp.clip(jnp.round(accum * 80.0), 0, 120)
     out = jnp.stack([
