@@ -159,22 +159,27 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
 
         k_passes = max(1, math.ceil(math.log2(max(steps, 2))))
         n = 2 ** k_passes
-        dens = min(float(density), 0.99)
-        delta = 1.0 - (1.0 - dens) ** (1.0 / max(n - 1, 1))
+        # density/decay/weight may be traced (FrameParams values): all the
+        # schedule math stays in jnp.
+        dens = jnp.minimum(jnp.asarray(density, jnp.float32), 0.99)
+        decay_f = jnp.asarray(decay, jnp.float32)
+        one_m = jnp.power(1.0 - dens, 1.0 / max(n - 1, 1))  # (1 - delta)
 
         accum = luma * weight  # j = 0 term
         for k in range(k_passes):
-            tk = 1.0 - (1.0 - delta) ** (2 ** k)
-            wk = decay ** (2 ** k)
+            tk = 1.0 - jnp.power(one_m, 2 ** k)
+            wk = jnp.power(decay_f, 2 ** k)
             su = u + (sun_u - u) * tk
             sv = v + (sun_v - v) * tk
             sx = jnp.clip(jnp.round(su * (w - 1)), 0, w - 1).astype(jnp.int32)
             sy = jnp.clip(jnp.round(sv * (h - 1)), 0, h - 1).astype(jnp.int32)
             accum = accum + wk * take_rows(accum.reshape(-1), sy * w + sx)
         # Keep overall energy comparable to the linear march: the linear sum
-        # of `steps` decayed taps vs 2^K; rescale by the weight-sum ratio.
-        lin_sum = sum(decay ** i for i in range(steps))
-        log_sum = sum(decay ** i for i in range(n))
+        # of `steps` decayed taps vs 2^K; rescale by the geometric-series
+        # weight-sum ratio (decay == 1 guarded).
+        safe_d = jnp.where(jnp.abs(decay_f - 1.0) < 1e-6, 0.999999, decay_f)
+        lin_sum = (1.0 - jnp.power(safe_d, steps)) / (1.0 - safe_d)
+        log_sum = (1.0 - jnp.power(safe_d, n)) / (1.0 - safe_d)
         accum = accum * (lin_sum / log_sum)
     else:
         accum = jnp.zeros((h, w), jnp.float32)
