@@ -35,7 +35,7 @@ class ShadowContext:
     strength: jnp.ndarray        # scalar in [0,1]
     pcf_radius: int = 2          # 0 = hard
     pcf_step: int = 1            # texel step
-    tap_stride: int = 4          # anchor stride of depth_taps windows
+    tap_stride: int = 8          # anchor stride of depth_taps windows
     depth_taps: jnp.ndarray | None = None  # ((S/stride)^2, (stride+2r)^2)
 
 
@@ -43,7 +43,7 @@ class ShadowContext:
 TAPS_BARRIER = True
 
 
-def pack_shadow_taps(depth, radius: int, stride: int = 4):
+def pack_shadow_taps(depth, radius: int, stride: int = 8):
     """(S, S) -> ((S/stride)^2, (stride+2r)^2) strided anchor windows.
 
     ONE wide row gather is the only fast PCF formulation on TPU, but its
@@ -89,7 +89,7 @@ def make_shadow_context(
     strength: float = 1.0,
     pcf_radius: int = 2,
     pcf_step: int = 1,
-    tap_stride: int = 4,
+    tap_stride: int = 8,
 ) -> ShadowContext:
     taps = pack_shadow_taps(depth, pcf_radius, tap_stride) \
         if (pcf_radius > 0 and pcf_step == 1) else None
