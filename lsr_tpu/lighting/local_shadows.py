@@ -235,6 +235,7 @@ def render_local_shadow_maps(
             depth, _, _ = rasterize_direct(
                 setup, map_size, map_size, jnp.float32(0.0), one,
                 depth_mode=DEPTH_NDC01, track_ids=False,
+                tile_h=128, tile_w=128,
             )
         else:
             depth, _ = rasterize_brute(

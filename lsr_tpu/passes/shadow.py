@@ -54,6 +54,10 @@ def render_shadow_map(
         depth, _, _ = rasterize_direct(
             setup, map_size, map_size, jnp.float32(0.0), one,
             depth_mode=DEPTH_NDC01, track_ids=False,
+            # 128x128 tiles beat the 64x128 default for big square
+            # depth-only targets (19.9 vs 23.7 ms at 2048^2, bit-exact;
+            # scripts/dbg_shadowraster.py).
+            tile_h=128, tile_w=128,
         )
     else:
         depth, _ = rasterize_brute(
