@@ -90,7 +90,8 @@ def main():
     import jax.numpy as jnp
 
     from lsr_tpu.core.frame import ShadowPassParams
-    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.passes.forward_plus import (
+        resolve_forward_plus, shade_forward_plus)
     from lsr_tpu.passes.post import fxaa_pass
     from lsr_tpu.passes.shadow import render_shadow_map
     from lsr_tpu.passes.tonemap import tonemap_pass
@@ -137,13 +138,23 @@ def main():
         depth, tid, max_bin = rasterize_direct(
             setup, width, height, cam.zn, cam.zf
         )
-        gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials,
-                                 want_face_normal=False)
-        hdr, stats = shade_forward_plus(
-            gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
-            width, height, tile_size=16, cap=128, mode="tiled",
-            sun_model="pbr_mr",
-        )
+        if os.environ.get("LSR_BENCH_RESOLVE", "0") == "1":
+            # Fully-fused resolve: interp + sun + lights + ambient in ONE
+            # Pallas kernel; no intermediate G-buffer.
+            hdr, stats = resolve_forward_plus(
+                setup, depth, tid, ctx_sh, lights, cam.view, cam.proj,
+                cam.zn, cam.zf, width, height, cap=128,
+                sun_model="pbr_mr",
+            )
+        else:
+            gb = interpolate_gbuffer(setup, depth, tid,
+                                     materials=ctx.materials,
+                                     want_face_normal=False)
+            hdr, stats = shade_forward_plus(
+                gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+                width, height, tile_size=16, cap=128, mode="tiled",
+                sun_model="pbr_mr",
+            )
         ldr = tonemap_pass(hdr)
         ldr = fxaa_pass(ldr)
         n_valid = jnp.sum(setup.valid)

@@ -215,3 +215,94 @@ def shade_forward_plus(
              "overflow_bins": bin_stats["overflow_bins"],
              "total_bins": counts.shape[0]}
     return hdr, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cap", "sun_model"),
+)
+def resolve_forward_plus(
+    setup,
+    depth01,
+    tid,
+    ctx,
+    lights,
+    view,
+    proj,
+    zn,
+    zf,
+    width: int,
+    height: int,
+    cap: int = 128,
+    sun_model: str = "pbr_mr",
+    background=(0.04, 0.06, 0.1),
+):
+    """Fully-fused resolve path: visibility buffer -> lit HDR in ONE Pallas
+    kernel (lighting/resolve_kernel.py) with no intermediate G-buffer.
+
+    XLA keeps only what it must: the per-pixel interp-record gather, the
+    PCF shadow gather (positions come from reconstruct_world_pos — pure
+    depth math, ~1e-3 agreement with interpolated positions), and the
+    texture gather (uv interpolated inline).  The sun-shadow slope bias
+    uses the triangle's corner-0 normal instead of the interpolated normal
+    (bias-only approximation; the lit term uses the exact interpolated
+    normal inside the kernel).
+
+    Constraints: fake-IBL ambient only (ctx.ibl is ignored here — use
+    shade_forward_plus for real-IBL scenes) and no local shadow maps.
+    Returns (hdr, stats) like shade_forward_plus.
+    """
+    from lsr_tpu.core.gather import take_rows
+    from lsr_tpu.lighting.resolve_kernel import resolve_fused_pallas
+    from lsr_tpu.lighting.shadow_sample import shadow_visibility_dir
+    from lsr_tpu.raster.interp import (
+        pack_interp_records, reconstruct_world_pos)
+    from lsr_tpu.shading.models import _norm
+
+    covered = tid >= 0
+    safe = jnp.where(covered, tid, 0)
+    rec = take_rows(pack_interp_records(setup, ctx.materials), safe)
+
+    if ctx.shadow is not None:
+        wp_r = reconstruct_world_pos(depth01, view, proj, zn, zf,
+                                     width, height)
+        n0 = _norm(rec[..., 21:24])
+        l_dir = _norm(-ctx.light_dir_ws)
+        ndl = jnp.maximum(jnp.sum(n0 * l_dir[None, None], -1), 0.0)
+        vis = shadow_visibility_dir(ctx.shadow, wp_r, ndl)
+        vis = jnp.where(ndl > 0.0, vis, 1.0)
+    else:
+        vis = jnp.ones_like(depth01)
+
+    if ctx.textures is not None:
+        xs = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+        ys = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+        bc0 = rec[..., 0] * xs + rec[..., 1] * ys + rec[..., 2]
+        bc1 = rec[..., 3] * xs + rec[..., 4] * ys + rec[..., 5]
+        bc2 = rec[..., 6] * xs + rec[..., 7] * ys + rec[..., 8]
+        w0 = bc0 * rec[..., 9]
+        w1 = bc1 * rec[..., 10]
+        w2 = bc2 * rec[..., 11]
+        inv_den = 1.0 / jnp.maximum(w0 + w1 + w2, 1e-12)
+        u = (w0 * rec[..., 30] + w1 * rec[..., 32] + w2 * rec[..., 34]) \
+            * inv_den
+        v = (w0 * rec[..., 31] + w1 * rec[..., 33] + w2 * rec[..., 35]) \
+            * inv_den
+        tex_id = rec[..., 49].astype(jnp.int32)
+        tex_albedo = sample_texture_bilinear(
+            ctx.textures, tex_id, jnp.stack([u, v], -1),
+            quads=ctx.texture_quads)
+    else:
+        tex_albedo = jnp.ones(depth01.shape + (3,), jnp.float32)
+
+    hdr, bin_stats = resolve_fused_pallas(
+        rec, vis, covered, tex_albedo,
+        ctx.camera_pos, ctx.light_dir_ws,
+        ctx.light_color * ctx.light_intensity,
+        jnp.asarray(background, jnp.float32),
+        lights, view, proj, width, height,
+        tile_h=64, tile_w=128, cap=cap * 2, chunk=16, sun_model=sun_model,
+    )
+    return hdr, {"max_lights_per_bin": bin_stats["max_count"],
+                 "overflow_bins": bin_stats["overflow_bins"],
+                 "total_bins": 0}
