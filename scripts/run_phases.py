@@ -200,6 +200,15 @@ def main():
             build_preset_pipelines(w, h, presets, post=("fxaa",)),
             build_preset_pipelines(w, h, presets, post=()),
         ]
+        # Compile every variant BEFORE the timed window — the soak measures
+        # runtime stability under perturbation, not compile latency (the
+        # reference's VK pipelines are likewise built at composition-switch
+        # time and counted as rebuilds, not frame time).
+        import jax as _jax
+
+        for vs in variants:
+            for name, fn in vs.items():
+                _jax.block_until_ready(fn(0))
         cycle_state = {"v": 0}
 
         def perturb(cycle):
