@@ -446,7 +446,11 @@ def rasterize_direct(
     depth_init=None,
     tid_init=None,
     depth_mode: int = DEPTH_VIEWZ,
-    tile_h: int = 64,
+    # 128x128 tiles measured fastest for both the main view (12.0 vs 13.8
+    # ms at 1080p) and square depth-only targets (19.9 vs 23.7 ms at
+    # 2048^2), bit-exact vs 64x128 (scripts/dbg_mainraster.py,
+    # dbg_shadowraster.py).
+    tile_h: int = 128,
     tile_w: int = 128,
     chunk: int = 16,
     scap: int = 128,
