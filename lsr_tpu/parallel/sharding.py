@@ -18,8 +18,6 @@ Both compose: mesh ("dp", "sp").
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsr_tpu.raster.interp import interpolate_gbuffer
 from lsr_tpu.raster.setup import scene_setup
-from lsr_tpu.raster.tiled import rasterize_tiled
 from lsr_tpu.passes.tonemap import tonemap_pass
 from lsr_tpu.shading.models import SHADING_MODELS, composite_over_background
 
@@ -109,15 +106,14 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
     from lsr_tpu.camera.light_camera import build_dir_light_camera
     from lsr_tpu.lighting.light_culling import cull_lights_tiled
     from lsr_tpu.lighting.light_runtime import accumulate_local_lights
-    from lsr_tpu.lighting.shadow_sample import (
-        make_shadow_context, shadow_visibility_dir)
+    from lsr_tpu.lighting.shadow_sample import make_shadow_context
     from lsr_tpu.passes.post import fxaa_pass
     from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01
     from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import shadow_caster_aabb
     from lsr_tpu.shading.common import gather_materials
     from lsr_tpu.shading.models import (
-        SHADING_MODELS, composite_over_background, _norm)
+        SHADING_MODELS, composite_over_background)
 
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]

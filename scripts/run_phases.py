@@ -49,8 +49,6 @@ def make_run_id() -> str:
 
 
 def scene_state(w, h, n_lights=48, seed=4):
-    import jax.numpy as jnp  # noqa: F401
-
     from lsr_tpu.core import math3d as m3
     from lsr_tpu.io.obj import load_obj, make_plane
     from lsr_tpu.lighting.light_types import LightSetBuilder
