@@ -140,9 +140,13 @@ def main():
               "shade_ctx": make_shade_context(
                   mats3, light_dir_ws=sun, light_intensity=2.6,
                   camera_pos=(0.5, 2.2, -6.0))}
+    # BASELINE config 5 = HelloMultiPass-class composition ("deferred
+    # G-buffer + IBL skybox + motion blur/DoF/FXAA post chain") — the
+    # reference demo has NO shadow pass (hello_multi_pass.cpp:1336 loop),
+    # so shadows are off here; shadowed compositions are configs 3/4.
     recipe = RenderPathRecipe(
         name="full", technique=TechniqueMode.TILED_DEFERRED,
-        light_culling=LightCullingMode.TILED_DEPTH_RANGE, shadows=True,
+        light_culling=LightCullingMode.TILED_DEPTH_RANGE, shadows=False,
         pass_chain=("sky", "gbuffer", "light_culling",
                     "deferred_lighting_tiled"),
         post_stack=POST_STACK_PRESETS["full"])
