@@ -152,7 +152,10 @@ def main():
                                      want_face_normal=False)
             hdr, stats = shade_forward_plus(
                 gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
-                width, height, tile_size=16, cap=128, mode="tiled",
+                width, height, tile_size=16, cap=128,
+                # tiled_depth_range: per-tile depth bounds cut binned list
+                # work (72.9 vs 75.9 ms whole-frame, scripts/dbg_frame2.py).
+                mode="tiled_depth_range",
                 sun_model="pbr_mr",
             )
         ldr = tonemap_pass(hdr)

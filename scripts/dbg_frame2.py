@@ -25,7 +25,7 @@ def main():
     geom, objects, lights, ctx, eye = bench.build_scene()
     cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
 
-    def make_frame(barrier, stride):
+    def make_frame(barrier, stride, mode="tiled"):
         def frame(cam, ctx_t):
             shadow_sample.TAPS_BARRIER = barrier  # read at trace time
             sm, lvp = render_shadow_map(geom, objects, jnp.asarray(sun),
@@ -42,15 +42,14 @@ def main():
                                      want_face_normal=False)
             hdr, _ = shade_forward_plus(
                 gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
-                w, h, tile_size=16, cap=128, mode="tiled",
+                w, h, tile_size=16, cap=128, mode=mode,
                 sun_model="pbr_mr")
             return fxaa_pass(tonemap_pass(hdr))
         return jax.jit(frame)
 
     variants = [
-        ("bar=F st=4", make_frame(False, 4)),
-        ("bar=T st=4", make_frame(True, 4)),
-        ("bar=T st=8", make_frame(True, 8)),
+        ("st=8 tiled", make_frame(True, 8)),
+        ("st=8 tdr", make_frame(True, 8, mode="tiled_depth_range")),
     ]
     for name, f in variants:
         t0 = time.perf_counter()
