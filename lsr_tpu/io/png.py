@@ -8,6 +8,7 @@ reference performs in Canvas::copy_to_SDLSurface (shs_renderer.hpp:770-781).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -51,6 +52,33 @@ def save_canvas_png(path: str, canvas_u8: np.ndarray) -> None:
     write_png(path, np.asarray(canvas_u8)[::-1])
 
 
+_PNG_LIB = None
+_PNG_LIB_TRIED = False
+
+
+def _png_lib():
+    """ctypes handle to the native scanline unfilterer (native/
+    png_filters.cpp) — the data-loader hot loop in C; None if unbuilt."""
+    global _PNG_LIB, _PNG_LIB_TRIED
+    if _PNG_LIB_TRIED:
+        return _PNG_LIB
+    _PNG_LIB_TRIED = True
+    import ctypes
+
+    lib_path = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libpngfilters.so"))
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        _PNG_LIB = lib
+    except OSError:
+        _PNG_LIB = None
+    return _PNG_LIB
+
+
 def read_png(path: str) -> np.ndarray:
     """Read an 8-bit RGB/RGBA/gray PNG written by write_png (filters 0-4)."""
     with open(path, "rb") as f:
@@ -76,6 +104,16 @@ def read_png(path: str) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = w * channels
+
+    lib = _png_lib()
+    if lib is not None and len(raw) >= h * (stride + 1):
+        out = np.empty(h * stride, np.uint8)
+        rc = lib.png_unfilter(raw, h, stride, channels,
+                              out.ctypes.data_as(__import__("ctypes").c_void_p))
+        if rc == 0:
+            return out.reshape(h, w, channels)
+        # Unknown filter byte: fall through to the Python decoder's error.
+
     img = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     off = 0
