@@ -102,7 +102,7 @@ def render(geom, objects, lights, ctx, eye, w, h, use_tiled):
     hdr, _ = shade_forward_plus(
         gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
         tile_size=16, cap=32, mode="tiled", sun_model="blinn_phong",
-        use_kernel=False, local_shadows=sh)
+        local_shadows=sh)  # fused-kernel path (local shadows in-kernel)
     return tonemap_pass(hdr)
 
 

@@ -39,7 +39,7 @@ _HALF_PI = 1.5707963267948966
 
 def _shade_kernel(
     counts_ref, z_ref, rec_ref, gb_ref, out_ref,
-    *, chunk: int, tiles_x: int, sun_model: str,
+    *, chunk: int, tiles_x: int, sun_model: str, n_vis: int = 0,
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
@@ -237,6 +237,16 @@ def _shade_kernel(
         lndl = jnp.maximum(nx[None] * llx + ny[None] * lly + nz[None] * llz, 0.0)
         live = (dist > 1e-4) & (lndl > 0.0) & (atten > 0.0) & covered[None]
         gain = jnp.where(live, intensity * atten, 0.0)
+        if n_vis > 0:
+            # Local shadow maps: record lane 28 is the light's visibility
+            # plane index (eval_local_shadow multiply,
+            # fp_stress_scene.frag:520); plane n_vis-1 is constant 1.0 for
+            # unshadowed lights, so the one-hot sum is exact.
+            sidx = f(28)
+            lvis = zero[None]
+            for k in range(n_vis):
+                lvis = lvis + jnp.where(sidx == float(k), gb_ref[16 + k], 0.0)
+            gain = gain * lvis
 
         hxl = llx + vx[None]
         hyl = lly + vy[None]
@@ -289,12 +299,19 @@ def shade_fused_pallas(
     tile_depth_range=None,
     sun_model: str = "pbr_mr",
     interpret: bool | None = None,
+    local_vis_stack=None,
+    light_shadow_index=None,
 ):
     """Sun + binned local lighting, fused.  Returns ((H,W,3) lit, bin_stats).
 
     The result covers direct sun + albedo-modulated local diffuse + local
     specular, zeroed outside coverage; add ambient/emissive and composite
     the background outside.
+
+    local_vis_stack: optional (H, W, K+1) per-shadowed-light visibility
+    planes (lighting/local_shadows.local_shadow_vis_stack; channel K must
+    be 1.0); light_shadow_index: (L,) i32 plane index per light — wires
+    LOCAL shadow maps into the fused kernel's light loop.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -309,6 +326,8 @@ def shade_fused_pallas(
         tile_depth_range=tile_depth_range,
     )
     packed = pack_light_records(lights)
+    if light_shadow_index is not None:
+        packed = packed.at[:, 28].set(light_shadow_index.astype(jnp.float32))
     from lsr_tpu.core.gather import take_rows
 
     tile_rec = take_rows(packed, jnp.maximum(lists, 0))
@@ -320,7 +339,7 @@ def shade_fused_pallas(
         )
 
     zeros = jnp.zeros((ph, pw), jnp.float32)
-    gbuf = jnp.stack([
+    planes = [
         padp(gb_world_pos[..., 0]), padp(gb_world_pos[..., 1]),
         padp(gb_world_pos[..., 2]),
         padp(gb_normal[..., 0]), padp(gb_normal[..., 1]),
@@ -329,7 +348,16 @@ def shade_fused_pallas(
         padp(albedo[..., 0]), padp(albedo[..., 1]), padp(albedo[..., 2]),
         padp(metallic), padp(roughness), padp(sun_shadow_vis),
         zeros, zeros, zeros,
-    ])  # (16, ph, pw)
+    ]
+    n_vis = 0
+    if local_vis_stack is not None:
+        n_vis = local_vis_stack.shape[-1]
+        for k in range(n_vis):
+            planes.append(padp(local_vis_stack[..., k]))
+        while len(planes) % 8 != 0:
+            planes.append(zeros)
+    gbuf = jnp.stack(planes)  # (16 [+vis planes, padded to x8], ph, pw)
+    n_gb = gbuf.shape[0]
 
     sd = sun_dir_ws / jnp.maximum(jnp.linalg.norm(sun_dir_ws), 1e-8)
     zparams = jnp.zeros((1, 128), jnp.float32)
@@ -338,7 +366,7 @@ def shade_fused_pallas(
     zparams = zparams.at[0, 6:9].set(sun_radiance.astype(jnp.float32))
 
     kern = functools.partial(_shade_kernel, chunk=chunk, tiles_x=tiles_x,
-                             sun_model=sun_model)
+                             sun_model=sun_model, n_vis=n_vis)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
@@ -347,7 +375,7 @@ def shade_fused_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cap, 32), lambda i, j, c: (i * tiles_x + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tile_h, tile_w), lambda i, j, c: (0, i, j),
+            pl.BlockSpec((n_gb, tile_h, tile_w), lambda i, j, c: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, tile_h, tile_w), lambda i, j, c: (0, i, j),

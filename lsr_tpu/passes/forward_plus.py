@@ -60,8 +60,10 @@ def shade_forward_plus(
     Returns (hdr (H,W,3), light_stats dict).
     """
     # Fused fast path: ONE Pallas kernel computes sun BRDF + binned local
-    # lights; only ambient/emissive and background composition stay in XLA.
-    if (use_kernel and local_shadows is None
+    # lights (and applies local shadow maps via per-light visibility-plane
+    # selection); only ambient/emissive and background composition stay in
+    # XLA.
+    if (use_kernel
             and mode in ("tiled", "tiled_depth_range")
             and sun_model in ("pbr_mr", "blinn_phong")):
         from lsr_tpu.lighting.shade_kernel import shade_fused_pallas
@@ -102,6 +104,13 @@ def shade_forward_plus(
             tdr = tile_depth_ranges_from_buffer(
                 gb.depth01, zn, zf, width, height, 128, tile_h=64
             )
+        local_vis = shadow_idx = None
+        if local_shadows is not None:
+            from lsr_tpu.lighting.local_shadows import local_shadow_vis_stack
+
+            local_vis = local_shadow_vis_stack(
+                local_shadows, gb.world_pos, n)
+            shadow_idx = local_shadows.light_shadow_index
         lit, bin_stats = shade_fused_pallas(
             gb.world_pos, n, gb.covered,
             albedo, metal[..., 0], rough[..., 0], vis,
@@ -110,6 +119,7 @@ def shade_forward_plus(
             lights, view, proj, width, height,
             tile_h=64, tile_w=128, cap=cap * 2, chunk=16,
             tile_depth_range=tdr, sun_model=sun_model,
+            local_vis_stack=local_vis, light_shadow_index=shadow_idx,
         )
         v = _norm(ctx.camera_pos[None, None, :] - gb.world_pos)
         amb = _ambient(ctx, n, v, albedo, metal, rough, ao) + emissive

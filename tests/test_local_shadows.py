@@ -160,3 +160,60 @@ def test_forward_plus_applies_local_shadows():
                                              sh.n_shadowed))
     hdr_id = np.asarray(jax.block_until_ready(lit(sh_none)))
     assert np.allclose(hdr_id, hdr_ns, atol=1e-5)
+
+
+def test_local_shadows_kernel_matches_xla_path():
+    """The fused kernel's per-light visibility-plane selection must agree
+    with the XLA accumulation path (one-hot einsum) on a shadowed scene."""
+    import jax
+
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=6.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lb.point((1.5, 1.2, 1.5), intensity=3.0, range=6.0)
+    lights = lb.build()
+    sh = render_local_shadow_maps(
+        geom, objects, lights, spot_ids=(0,), point_ids=(1,),
+        map_size=256, pcf_radius=1)
+
+    w, h = 160, 128
+    cam = make_camera(w, h, (0.0, 5.0, -7.0), (0, 0, 0))
+    mats = make_materials(base_color=[(0.8, 0.8, 0.8), (0.7, 0.7, 0.7)])
+    ctx = make_shade_context(
+        mats, light_dir_ws=(0.3, -1.0, 0.2), light_intensity=0.2,
+        camera_pos=(0.0, 5.0, -7.0))
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
+
+    def run(use_kernel):
+        hdr, _ = shade_forward_plus(
+            gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+            tile_size=16, cap=8, mode="tiled", sun_model="blinn_phong",
+            use_kernel=use_kernel, local_shadows=sh)
+        return np.asarray(jax.block_until_ready(hdr))
+
+    a = run(False)
+    b = run(True)
+    d = np.abs(a - b)
+    assert d.mean() < 5e-3, d.mean()
+    assert (d.max(-1) > 0.05).mean() < 0.01
+    # And shadows actually darken in the kernel path too.
+    hdr_ns, _ = shade_forward_plus(
+        gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+        tile_size=16, cap=8, mode="tiled", sun_model="blinn_phong",
+        use_kernel=True)
+    diff = (np.asarray(hdr_ns) - b).sum(-1)
+    assert (diff > 0.05).sum() > 50
