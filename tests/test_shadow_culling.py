@@ -167,3 +167,28 @@ def test_pcf_quad_path_matches_naive():
     diff = np.abs(v_q - v_n)
     assert (diff > 1e-6).mean() < 0.02
     assert diff.max() <= 4.0 / 25.0 + 1e-6
+
+
+def test_pcf_packed_path_odd_map_size():
+    """Strided-anchor windows must stay exact when the map size is not a
+    multiple of the anchor stride (clamp-pad geometry edge cases)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lsr_tpu.lighting.shadow_sample import make_shadow_context, \
+        shadow_visibility_dir
+
+    rng = np.random.default_rng(5)
+    for size, stride in ((300, 8), (130, 4), (257, 8)):
+        depth = jnp.asarray(rng.random((size, size), np.float32))
+        vp = jnp.eye(4, dtype=jnp.float32)
+        packed = make_shadow_context(depth, vp, pcf_radius=2,
+                                     tap_stride=stride)
+        naive = dataclasses.replace(packed, depth_taps=None)
+        pts = jnp.asarray(
+            rng.uniform(-0.999, 0.999, (1, 256, 3)).astype(np.float32))
+        ndl = jnp.ones((1, 256), jnp.float32)
+        va = np.asarray(shadow_visibility_dir(packed, pts, ndl))
+        vb = np.asarray(shadow_visibility_dir(naive, pts, ndl))
+        np.testing.assert_array_equal(va, vb), (size, stride)
