@@ -203,26 +203,43 @@ def view_depth_to_cluster_slice(view_z, zn, zf, slices: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_size", "cap", "slices")
+    jax.jit, static_argnames=("width", "height", "tile_size", "cap",
+                              "slices", "use_shapes")
 )
 def cull_lights_clustered(
     lights: LightsSoA, view, proj, zn, zf,
     width: int, height: int, tile_size: int = 16, cap: int = 128,
-    slices: int = 16,
+    slices: int = 16, use_shapes: bool = True,
 ):
     """Clustered binning: lists (tiles * slices, cap).  Cluster index =
-    tile * slices + slice."""
-    centers, radii = light_bounding_spheres(lights)
-    c_view, r = view_space_spheres(view, centers, radii)
+    tile * slices + slice.  use_shapes: analytic support-shape bounds per
+    light (spot cones etc.), as in cull_lights_tiled."""
     planes = tile_side_planes(width, height, tile_size, proj)
-    d = jnp.einsum("tpc,lc->tpl", planes, c_view)
-    inside_xy = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+    num_tiles = planes.shape[0]
+
+    if use_shapes:
+        from lsr_tpu.geometry.support_shapes import (
+            light_culling_shapes, support_max_dot, transform_shapes)
+
+        rec_v = transform_shapes(light_culling_shapes(lights),
+                                 view[:3, :3], view[:3, 3])
+        sup = support_max_dot(rec_v, planes.reshape(num_tiles * 4, 3))
+        inside_xy = jnp.all(sup.reshape(-1, num_tiles, 4) >= 0.0, axis=2).T
+        zsup = support_max_dot(
+            rec_v, jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]],
+                               jnp.float32))
+        zmax_l, zmin_l = zsup[:, 0], -zsup[:, 1]
+    else:
+        centers, radii = light_bounding_spheres(lights)
+        c_view, r = view_space_spheres(view, centers, radii)
+        d = jnp.einsum("tpc,lc->tpl", planes, c_view)
+        inside_xy = jnp.all(d >= -r[None, None, :], axis=1)  # (tiles, L)
+        zmin_l, zmax_l = c_view[:, 2] - r, c_view[:, 2] + r
 
     bounds = cluster_slice_bounds(zn, zf, slices)        # (slices+1,)
-    z = c_view[:, 2]
     z_lo = bounds[:-1][:, None]                          # (slices, 1)
     z_hi = bounds[1:][:, None]
-    overlap = (z[None, :] + r[None, :] >= z_lo) & (z[None, :] - r[None, :] <= z_hi)
+    overlap = (zmax_l[None, :] >= z_lo) & (zmin_l[None, :] <= z_hi)
 
     local = (lights.type != 0) & (lights.type != 5) & lights.enabled
     mask = (
