@@ -300,6 +300,8 @@ def accumulate_local_lights(
         from lsr_tpu.core.gather import take_rows
         tile_rec = take_rows(packed, jnp.maximum(lists_p, 0))  # (T, capP, 32)
         tile_rec = jnp.where((lists_p >= 0)[..., None], tile_rec, 0.0)
+    else:
+        packed_cl = pack_light_records(lights)
 
     def body(carry, ck):
         diff, spec = carry
@@ -324,7 +326,13 @@ def accumulate_local_lights(
         else:
             rows = jax.lax.dynamic_slice_in_dim(lists_p, ck * chunk, chunk, axis=1)
             idx = rows[list_idx]  # (T, px, chunk)
-            cols = _gather_light_columns(lights, idx)
+            # ONE wide packed-record gather per chunk instead of 17 column
+            # gathers (TPU gathers pay per-op overhead; the clustered path
+            # at 640x360 was gather-op bound).
+            from lsr_tpu.core.gather import take_rows as _tr
+
+            rec = _tr(packed_cl, jnp.maximum(idx, 0))      # (T, px, chunk, 32)
+            cols = unpack_light_records(rec, idx >= 0)
             d, s = eval_local_lights(cols, wp_t, n_t, v_t)
             if vis_t is not None:
                 sidx = take_rows(light_shadow_index, jnp.maximum(idx, 0))
