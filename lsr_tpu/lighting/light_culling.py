@@ -204,17 +204,18 @@ def view_depth_to_cluster_slice(view_z, zn, zf, slices: int):
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "tile_size", "cap",
-                              "slices", "use_shapes")
+                              "slices", "use_shapes", "tile_h")
 )
 def cull_lights_clustered(
     lights: LightsSoA, view, proj, zn, zf,
     width: int, height: int, tile_size: int = 16, cap: int = 128,
-    slices: int = 16, use_shapes: bool = True,
+    slices: int = 16, use_shapes: bool = True, tile_h: int | None = None,
 ):
     """Clustered binning: lists (tiles * slices, cap).  Cluster index =
     tile * slices + slice.  use_shapes: analytic support-shape bounds per
-    light (spot cones etc.), as in cull_lights_tiled."""
-    planes = tile_side_planes(width, height, tile_size, proj)
+    light (spot cones etc.), as in cull_lights_tiled.  tile_size is the
+    tile width; tile_h defaults to square tiles (kernel grids use 64x128)."""
+    planes = tile_side_planes(width, height, tile_size, proj, tile_h)
     num_tiles = planes.shape[0]
 
     if use_shapes:

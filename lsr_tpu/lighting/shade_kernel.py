@@ -40,10 +40,12 @@ _HALF_PI = 1.5707963267948966
 def _shade_kernel(
     counts_ref, z_ref, rec_ref, gb_ref, out_ref,
     *, chunk: int, tiles_x: int, sun_model: str, n_vis: int = 0,
+    slices: int = 0,
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
-    count = counts_ref[tyi * tiles_x + txi]
+    t_lin0 = tyi * tiles_x + txi
+    count = counts_ref[t_lin0 * slices] if slices else counts_ref[t_lin0]
 
     px, py, pz = gb_ref[0], gb_ref[1], gb_ref[2]
     nx, ny, nz = gb_ref[3], gb_ref[4], gb_ref[5]
@@ -123,9 +125,11 @@ def _shade_kernel(
     shape = px.shape
     zero = jnp.zeros(shape, jnp.float32)
 
-    def chunk_body(ci, carry):
+    slice_plane = gb_ref[16 + n_vis] if slices else None
+
+    def chunk_body(ci, carry, list_base=0, slice_id=None):
         ldr_, ldg, ldb, lsr, lsg, lsb = carry
-        base = pl.multiple_of(ci * chunk, chunk)
+        base = list_base + pl.multiple_of(ci * chunk, chunk)
         blk = rec_ref[0, pl.ds(base, chunk), :]
 
         def f(j):
@@ -247,6 +251,11 @@ def _shade_kernel(
             for k in range(n_vis):
                 lvis = lvis + jnp.where(sidx == float(k), gb_ref[16 + k], 0.0)
             gain = gain * lvis
+        if slice_id is not None:
+            # Clustered mode: this chunk belongs to cluster slice
+            # `slice_id`; only pixels whose log-Z slice matches take it
+            # (view_depth_to_cluster_slice semantics).
+            gain = gain * (slice_plane == slice_id.astype(jnp.float32))[None]
 
         hxl = llx + vx[None]
         hyl = lly + vy[None]
@@ -266,11 +275,29 @@ def _shade_kernel(
         lsb = lsb + jnp.sum(jnp.maximum(colb, 0.0) * ws, axis=0)
         return ldr_, ldg, ldb, lsr, lsg, lsb
 
-    cap = rec_ref.shape[1]
-    n_chunks = jnp.minimum(pl.cdiv(count, chunk), cap // chunk)
-    ld_r, ld_g, ld_b, ls_r, ls_g, ls_b = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (zero, zero, zero, zero, zero, zero)
-    )
+    init6 = (zero, zero, zero, zero, zero, zero)
+    if slices:
+        # Per-(tile, slice) lists laid out contiguously: walk each slice's
+        # list with its own trip count, masking pixels by their slice.
+        cap = rec_ref.shape[1] // slices
+
+        def slice_body(sl, carry):
+            cnt = counts_ref[t_lin0 * slices + sl]
+            nch = jnp.minimum(pl.cdiv(cnt, chunk), cap // chunk)
+            return jax.lax.fori_loop(
+                0, nch,
+                lambda ci, c: chunk_body(ci, c, list_base=sl * cap,
+                                         slice_id=sl),
+                carry)
+
+        ld_r, ld_g, ld_b, ls_r, ls_g, ls_b = jax.lax.fori_loop(
+            0, slices, slice_body, init6)
+    else:
+        cap = rec_ref.shape[1]
+        n_chunks = jnp.minimum(pl.cdiv(count, chunk), cap // chunk)
+        ld_r, ld_g, ld_b, ls_r, ls_g, ls_b = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, init6
+        )
 
     covf = covered.astype(jnp.float32)
     out_ref[0] = (dr + ar * ld_r + ls_r) * covf
@@ -286,7 +313,7 @@ def _shade_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "cap", "chunk",
-                     "sun_model", "interpret"),
+                     "sun_model", "interpret", "slices"),
 )
 def shade_fused_pallas(
     gb_world_pos, gb_normal, gb_covered,
@@ -301,6 +328,10 @@ def shade_fused_pallas(
     interpret: bool | None = None,
     local_vis_stack=None,
     light_shadow_index=None,
+    cluster_slice_plane=None,
+    slices: int = 0,
+    zn=None,
+    zf=None,
 ):
     """Sun + binned local lighting, fused.  Returns ((H,W,3) lit, bin_stats).
 
@@ -312,6 +343,12 @@ def shade_fused_pallas(
     planes (lighting/local_shadows.local_shadow_vis_stack; channel K must
     be 1.0); light_shadow_index: (L,) i32 plane index per light — wires
     LOCAL shadow maps into the fused kernel's light loop.
+
+    cluster_slice_plane + slices>0 switches the light walk to CLUSTERED
+    mode: lists come from cull_lights_clustered (per tile x log-Z slice),
+    the kernel walks each slice's list with its own trip count, and pixels
+    take only their own slice's lights (view_depth_to_cluster_slice
+    semantics) — the clustered-forward preset at kernel speed.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -320,11 +357,19 @@ def shade_fused_pallas(
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
-    lists, counts, bin_stats = cull_lights_tiled(
-        lights, view, proj, width, height,
-        tile_size=tile_w, tile_h=tile_h, cap=cap,
-        tile_depth_range=tile_depth_range,
-    )
+    if slices:
+        from lsr_tpu.lighting.light_culling import cull_lights_clustered
+
+        lists, counts, bin_stats = cull_lights_clustered(
+            lights, view, proj, zn, zf, width, height,
+            tile_size=tile_w, tile_h=tile_h, cap=cap, slices=slices,
+        )                                  # (tiles*slices, cap)
+    else:
+        lists, counts, bin_stats = cull_lights_tiled(
+            lights, view, proj, width, height,
+            tile_size=tile_w, tile_h=tile_h, cap=cap,
+            tile_depth_range=tile_depth_range,
+        )
     packed = pack_light_records(lights)
     if light_shadow_index is not None:
         packed = packed.at[:, 28].set(light_shadow_index.astype(jnp.float32))
@@ -332,6 +377,8 @@ def shade_fused_pallas(
 
     tile_rec = take_rows(packed, jnp.maximum(lists, 0))
     tile_rec = jnp.where((lists >= 0)[..., None], tile_rec, 0.0)
+    if slices:
+        tile_rec = tile_rec.reshape(num_tiles, slices * cap, 32)
 
     def padp(x):
         return jnp.pad(
@@ -354,8 +401,10 @@ def shade_fused_pallas(
         n_vis = local_vis_stack.shape[-1]
         for k in range(n_vis):
             planes.append(padp(local_vis_stack[..., k]))
-        while len(planes) % 8 != 0:
-            planes.append(zeros)
+    if slices:
+        planes.append(padp(cluster_slice_plane.astype(jnp.float32)))
+    if len(planes) % 8 != 0:
+        planes.extend([zeros] * (8 - len(planes) % 8))
     gbuf = jnp.stack(planes)  # (16 [+vis planes, padded to x8], ph, pw)
     n_gb = gbuf.shape[0]
 
@@ -366,14 +415,15 @@ def shade_fused_pallas(
     zparams = zparams.at[0, 6:9].set(sun_radiance.astype(jnp.float32))
 
     kern = functools.partial(_shade_kernel, chunk=chunk, tiles_x=tiles_x,
-                             sun_model=sun_model, n_vis=n_vis)
+                             sun_model=sun_model, n_vis=n_vis, slices=slices)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, 32), lambda i, j, c: (i * tiles_x + j, 0, 0),
+            pl.BlockSpec((1, (slices or 1) * cap, 32),
+                         lambda i, j, c: (i * tiles_x + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_gb, tile_h, tile_w), lambda i, j, c: (0, i, j),
                          memory_space=pltpu.VMEM),

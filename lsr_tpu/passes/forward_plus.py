@@ -64,7 +64,7 @@ def shade_forward_plus(
     # selection); only ambient/emissive and background composition stay in
     # XLA.
     if (use_kernel
-            and mode in ("tiled", "tiled_depth_range")
+            and mode in ("tiled", "tiled_depth_range", "clustered")
             and sun_model in ("pbr_mr", "blinn_phong")):
         from lsr_tpu.lighting.shade_kernel import shade_fused_pallas
         from lsr_tpu.lighting.shadow_sample import shadow_visibility_dir
@@ -104,6 +104,12 @@ def shade_forward_plus(
             tdr = tile_depth_ranges_from_buffer(
                 gb.depth01, zn, zf, width, height, 128, tile_h=64
             )
+        slice_plane = None
+        kern_slices = 0
+        if mode == "clustered":
+            view_z = zn + gb.depth01 * (zf - zn)
+            slice_plane = view_depth_to_cluster_slice(view_z, zn, zf, slices)
+            kern_slices = slices
         local_vis = shadow_idx = None
         if local_shadows is not None:
             from lsr_tpu.lighting.local_shadows import local_shadow_vis_stack
@@ -120,6 +126,8 @@ def shade_forward_plus(
             tile_h=64, tile_w=128, cap=cap * 2, chunk=16,
             tile_depth_range=tdr, sun_model=sun_model,
             local_vis_stack=local_vis, light_shadow_index=shadow_idx,
+            cluster_slice_plane=slice_plane, slices=kern_slices,
+            zn=zn, zf=zf,
         )
         v = _norm(ctx.camera_pos[None, None, :] - gb.world_pos)
         amb = _ambient(ctx, n, v, albedo, metal, rough, ao) + emissive

@@ -281,3 +281,33 @@ def test_collect_object_lights_and_motion():
     # Orbit preserves distance-to-anchor bound.
     dd = np.linalg.norm(np.asarray(moved.position - lights.position), axis=-1)
     assert np.all(dd <= 0.5 + 1e-5)
+
+
+def test_clustered_kernel_matches_xla():
+    """The fused kernel's clustered mode (per-slice list walks + per-pixel
+    slice masking) must reproduce the XLA clustered accumulation."""
+    import jax
+
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    w, h = 128, 96
+    gb, cam = _monkey_gbuffer(w, h)
+    lights = _light_ring(24, intensity=1.5)
+    mats = make_materials(base_color=[(0.7, 0.7, 0.7)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.3, -0.7, 0.5),
+                             camera_pos=(0.5, 1.5, -4.0), light_intensity=1.0)
+
+    def run(use_kernel):
+        hdr, _ = shade_forward_plus(
+            gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+            tile_size=16, cap=32, mode="clustered", slices=8,
+            sun_model="pbr_mr", use_kernel=use_kernel)
+        return np.asarray(jax.block_until_ready(hdr))
+
+    a = run(False)
+    b = run(True)
+    d = np.abs(a - b)
+    assert d.mean() < 5e-3, d.mean()
+    assert (d.max(-1) > 0.05).mean() < 0.02
