@@ -295,7 +295,48 @@ class _LightingBase(RenderPass):
 
     use_local_lights = False
 
+    def _fused_kernel_ok(self, state, fp):
+        """The fused Pallas shade kernel covers the common hot case: sun +
+        binned local lights with the pbr/blinn models, no debug view and
+        no SSAO modulation.  Everything else keeps the general XLA path."""
+        return (
+            self.use_local_lights
+            and fp.debug_view.value == "none"
+            and fp.shading_model in ("pbr_mr", "blinn_phong")
+            and state.get("ssao_mask") is None
+        )
+
     def execute_resolved(self, ctx, state, fp, request):
+        if self._fused_kernel_ok(state, fp):
+            from lsr_tpu.core.frame import LightCullingMode, TechniqueMode
+            from lsr_tpu.passes.forward_plus import shade_forward_plus
+
+            gb = state["gbuffer"]
+            sctx = state["shade_ctx"]
+            if state.get("shadow_ctx") is not None and fp.enable_shadows:
+                sctx = dataclasses.replace(sctx, shadow=state["shadow_ctx"])
+            cam = state["camera"]
+            t = fp.technique
+            clustered = (t.mode == TechniqueMode.CLUSTERED_FORWARD
+                         or t.light_culling == LightCullingMode.CLUSTERED)
+            mode = "clustered" if clustered else (
+                "tiled_depth_range"
+                if t.light_culling == LightCullingMode.TILED_DEPTH_RANGE
+                else "tiled")
+            bg = _background(state, fp)
+            hdr, _ = shade_forward_plus(
+                gb, sctx, state["lights"], cam.view, cam.proj, cam.zn,
+                cam.zf, fp.width, fp.height, tile_size=t.tile_size,
+                cap=t.max_lights_per_tile, mode=mode,
+                slices=t.cluster_slices, sun_model=fp.shading_model,
+                use_kernel=True)
+            # shade_forward_plus composites a constant background; swap in
+            # the frame's actual background plane (sky pass output etc.).
+            hdr = jnp.where(gb.covered[..., None], hdr, bg)
+            out = dict(state)
+            out["hdr"] = hdr
+            return out
+
         hdr = _sun_shade(state, fp)
         if self.use_local_lights and state.get("light_grid") is not None:
             hdr = hdr + _local_lights(state, fp)
