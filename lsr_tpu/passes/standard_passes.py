@@ -338,7 +338,13 @@ class _LightingBase(RenderPass):
             return out
 
         hdr = _sun_shade(state, fp)
-        if self.use_local_lights and state.get("light_grid") is not None:
+        if self.use_local_lights:
+            if state.get("light_grid") is None:
+                # No culling pass in the chain (plain forward/deferred):
+                # bin internally — observably identical to the reference's
+                # per-pixel all-lights loop (culling is conservative).
+                state = LightCullingPass().execute_resolved(
+                    ctx, state, fp, request)
             hdr = hdr + _local_lights(state, fp)
         if state.get("ssao_mask") is not None:
             gb = state["gbuffer"]
@@ -350,6 +356,11 @@ class _LightingBase(RenderPass):
 
 
 class ForwardPass(_LightingBase):
+    # The reference's classic forward path shades ALL local lights per
+    # pixel (demo_forward_classic_renderpath fragment loop); conservative
+    # binning reproduces that exactly.
+    use_local_lights = True
+
     def __init__(self):
         super().__init__("pbr_forward",
                          reads=("geom", "objects", "camera", "shade_ctx"),
