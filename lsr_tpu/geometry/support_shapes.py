@@ -285,7 +285,10 @@ def light_culling_shapes(lights, spot_cones: bool = True):
 
     if spot_cones:
         d = normalize(lights.direction)
-        outer = jnp.clip(lights.outer_angle, 0.02, 1.55)
+        # Clamp to the SAME constant the shaders use (shade_kernel.py /
+        # light_runtime.py: pi/2 - 0.005) so the culling cone never shrinks
+        # below the shading cone — binning must stay conservative.
+        outer = jnp.clip(lights.outer_angle, 0.02, np.pi / 2 - 0.005)
         cone = make_cones(pos, d, rng, rng * jnp.tan(outer))
         rec = jnp.where((t == LIGHT_SPOT)[:, None], cone, rec)
 

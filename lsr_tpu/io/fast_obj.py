@@ -25,10 +25,10 @@ def _lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                        "libfastobj.so")
-    path = os.path.abspath(path)
-    if not os.path.exists(path):
+    from lsr_tpu.utils.native_build import ensure_native_built
+
+    path = ensure_native_built("libfastobj.so")
+    if path is None:
         return None
     lib = ctypes.CDLL(path)
     lib.fastobj_parse_file.restype = ctypes.c_void_p

@@ -65,8 +65,12 @@ def _png_lib():
     _PNG_LIB_TRIED = True
     import ctypes
 
-    lib_path = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "..", "native", "libpngfilters.so"))
+    from lsr_tpu.utils.native_build import ensure_native_built
+
+    lib_path = ensure_native_built("libpngfilters.so")
+    if lib_path is None:
+        _PNG_LIB = None
+        return _PNG_LIB
     try:
         lib = ctypes.CDLL(lib_path)
         lib.png_unfilter.restype = ctypes.c_int

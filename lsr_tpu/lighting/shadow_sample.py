@@ -64,6 +64,14 @@ def pack_shadow_taps(depth, radius: int, stride: int = 8):
     s = depth.shape[0]
     win = stride + 2 * radius
     n_anchor = -(-s // stride)
+    if radius == 0:
+        # Hard shadows: each anchor window IS its stride-block (no overlap;
+        # the general path below would drop the last block row).
+        pad = n_anchor * stride - s
+        dd = jnp.pad(depth, ((0, pad), (0, pad)), mode="edge")
+        bl = dd.reshape(n_anchor, stride, n_anchor, stride)
+        return bl.transpose(0, 2, 1, 3).reshape(n_anchor * n_anchor,
+                                                stride * stride)
     # Edge-pad so anchor (ay, ax)'s window starts at padded row ay*stride
     # and the padded map is a whole number of stride-blocks.  Assembling
     # windows is then FOUR shifted block-array concats (im2col by reshape)

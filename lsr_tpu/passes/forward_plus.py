@@ -142,25 +142,33 @@ def shade_forward_plus(
                      "overflow_bins": bin_stats["overflow_bins"],
                      "total_bins": 0}
 
-    # Surface maps on the XLA path: perturb the G-buffer normal in place so
-    # the sun model AND the local light loop both see the mapped normal
-    # (ORM/emissive modulation is fully wired on the kernel path above).
+    # Surface maps on the XLA path: perturb the G-buffer normal in place AND
+    # thread the mapped ORM/emissive through ctx.mat_override so the sun
+    # model and the local-light combine see the same surfaces as the fused
+    # kernel path (pass_adapters' shading reads all four texture slots).
     if ctx.surface_maps:
         import dataclasses as _dc
 
         from lsr_tpu.shading.common import (
-            apply_surface_maps, gather_material_texture_slots)
+            apply_surface_maps, gather_material_texture_slots,
+            gather_materials)
         from lsr_tpu.shading.models import _norm as _nrm
 
-        _, metal0, rough0, ao0, em0, _ = gather_materials(
+        base0, metal0, rough0, ao0, em0, tex0 = gather_materials(
             ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
         ntex, otex, etex = gather_material_texture_slots(
             ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
-        n_mapped, _, _, _, _ = apply_surface_maps(
+        n_mapped, metal_m, rough_m, ao_m, em_m = apply_surface_maps(
             ctx.textures, ctx.texture_quads, gb.uv, gb.tangent,
             _nrm(gb.normal_ws), ntex, otex, etex,
             metal0, rough0, ao0, em0)
+        albedo_m = base0
+        if ctx.textures is not None:
+            albedo_m = albedo_m * sample_texture_bilinear(
+                ctx.textures, tex0, gb.uv, quads=ctx.texture_quads)
         gb = _dc.replace(gb, normal_ws=n_mapped)
+        ctx = _dc.replace(ctx, mat_override=(
+            jnp.maximum(albedo_m, 0.0), metal_m, rough_m, ao_m, em_m))
 
     # Sun + ambient/IBL via the built-in single-light models.
     base = SHADING_MODELS[sun_model](gb, ctx)
@@ -205,13 +213,16 @@ def shade_forward_plus(
     # Material combine (albedo-modulated diffuse + specular).
     from lsr_tpu.shading.common import gather_materials
 
-    mat_base, _, _, _, _, tex_id = gather_materials(
-        ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
-    albedo = mat_base
-    if ctx.textures is not None:
-        albedo = albedo * sample_texture_bilinear(
-            ctx.textures, tex_id, gb.uv, quads=ctx.texture_quads
-        )
+    if ctx.mat_override is not None:
+        albedo = ctx.mat_override[0]
+    else:
+        mat_base, _, _, _, _, tex_id = gather_materials(
+            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+        albedo = mat_base
+        if ctx.textures is not None:
+            albedo = albedo * sample_texture_bilinear(
+                ctx.textures, tex_id, gb.uv, quads=ctx.texture_quads
+            )
     local = jnp.maximum(albedo, 0.0) * diff + spec
 
     hdr = base + local
@@ -221,8 +232,11 @@ def shade_forward_plus(
 
         nrm = _n(gb.normal_ws)
         vv = _n(ctx.camera_pos[None, None, :] - gb.world_pos)
-        _, metal_a, rough_a, ao_a, _, _ = gather_materials(
-            ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
+        if ctx.mat_override is not None:
+            _, metal_a, rough_a, ao_a, _ = ctx.mat_override
+        else:
+            _, metal_a, rough_a, ao_a, _, _ = gather_materials(
+                ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None))
         amb_base = _amb_fn(ctx, nrm, vv, jnp.maximum(albedo, 0.0),
                            metal_a, rough_a, ao_a)
         probe = eval_env_probes(lights, gb.world_pos, amb_base)

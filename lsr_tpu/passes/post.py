@@ -70,16 +70,22 @@ def motion_vectors_pass(gb, objects, viewproj, prev_viewproj, width, height,
 
 
 @functools.partial(jax.jit, static_argnames=("samples",))
-def motion_blur_pass(ldr_u8, depth01, velocity, dt,
+def motion_blur_pass(img, depth01, velocity, dt,
                      samples: int = 10, strength: float = 1.0,
                      max_velocity_px: float = 20.0,
                      min_velocity_px: float = 0.25,
                      depth_reject: float = 0.08):
-    """Velocity line blur on the LDR image (pass_motion_blur.hpp semantics,
-    including lround sampling, dt normalization clamp and the
-    'fewer than 1 accepted sample -> passthrough' rule)."""
+    """Velocity line blur (pass_motion_blur.hpp semantics, including lround
+    sampling, dt normalization clamp and the 'fewer than 1 accepted sample
+    -> passthrough' rule).
+
+    Dtype-generic: float input (the reference's HDR pipeline form,
+    pass_motion_blur.hpp:40 runs on RT_ColorHDR) stays float with no
+    quantization; uint8 input (legacy HelloMultiPass LDR chain) keeps the
+    exact round+clip semantics."""
     h, w = depth01.shape
-    src = ldr_u8.astype(jnp.float32)
+    is_u8 = img.dtype == jnp.uint8
+    src = img.astype(jnp.float32)
     dt_scale = jnp.clip(jnp.maximum(dt, 1e-4) * 60.0, 0.5, 2.5)
 
     v = velocity * (strength * dt_scale)
@@ -108,7 +114,9 @@ def motion_blur_pass(ldr_u8, depth01, velocity, dt,
     ok = (cnt >= 1.0) & (ln >= min_velocity_px)
     avg = acc / jnp.maximum(cnt, 1.0)[..., None]
     out = jnp.where(ok[..., None], avg, src)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    if is_u8:
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -117,11 +125,15 @@ def motion_blur_pass(ldr_u8, depth01, velocity, dt,
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "log_march"))
-def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
+def light_shafts_pass(img, depth01, camera_pos, sun_dir_ws, viewproj,
                       steps: int = 48, density: float = 0.8,
                       weight: float = 0.9, decay: float = 0.95,
                       log_march: bool = True):
     """Radial god-ray march toward the projected sun (pass_light_shafts.hpp).
+
+    Dtype-generic: float input is treated as HDR in [0,1]-ish scale (the
+    reference pass runs on HDR, pass_light_shafts.hpp:44) and returns float
+    with no quantization; uint8 keeps the exact legacy round/clip math.
 
     log_march=True (default) runs the march as log2(N) ZOOM-COMPOSE passes
     instead of N per-step gathers: each pass adds a decayed, sun-zoomed
@@ -131,9 +143,13 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
     2^ceil(log2 steps) effective taps from ~6 gathers — the gather count
     was the entire cost of this pass on TPU (48 gathers ~ 150ms at 800x600
     in round 1).  The reference's linear-t spacing is available with
-    log_march=False."""
+    log_march=False; the deviation of the default is documented in
+    PARITY.md ("light shafts march") and golden/parity presets pin
+    log_march explicitly."""
     h, w = depth01.shape
-    src = ldr_u8.astype(jnp.float32)
+    is_u8 = img.dtype == jnp.uint8
+    src = img.astype(jnp.float32)
+    scale = 255.0 if is_u8 else 1.0
 
     sun_pos = camera_pos + (-sun_dir_ws) * 100.0
     clip = jnp.concatenate([sun_pos, jnp.ones(1, jnp.float32)]) @ viewproj.T
@@ -147,7 +163,8 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
         & (sun_u >= 0.0) & (sun_u <= 1.0) & (sun_v >= 0.0) & (sun_v <= 1.0)
     )
 
-    luma = (0.2126 * src[..., 0] + 0.7152 * src[..., 1] + 0.0722 * src[..., 2]) / 255.0
+    luma = (0.2126 * src[..., 0] + 0.7152 * src[..., 1]
+            + 0.0722 * src[..., 2]) / scale
     # Sky/far pixels keep shafts: luma scaled by depth (near=0 kills them).
     luma = luma * jnp.clip(depth01, 0.0, 1.0)
 
@@ -194,14 +211,22 @@ def light_shafts_pass(ldr_u8, depth01, camera_pos, sun_dir_ws, viewproj,
                 * (illum * weight)
             illum = illum * decay
 
-    boost = jnp.clip(jnp.round(accum * 80.0), 0, 120)
+    if is_u8:
+        boost = jnp.clip(jnp.round(accum * 80.0), 0, 120)
+        out = jnp.stack([
+            src[..., 0] + boost,
+            src[..., 1] + boost,
+            src[..., 2] + jnp.floor(boost / 2),
+        ], axis=-1)
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+        return jnp.where(sun_valid, out, img)
+    boost = jnp.clip(accum * 80.0, 0.0, 120.0) / 255.0
     out = jnp.stack([
         src[..., 0] + boost,
         src[..., 1] + boost,
-        src[..., 2] + jnp.floor(boost / 2),
+        src[..., 2] + boost * 0.5,
     ], axis=-1)
-    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
-    return jnp.where(sun_valid, out, ldr_u8)
+    return jnp.where(sun_valid, out, src)
 
 
 # ---------------------------------------------------------------------------

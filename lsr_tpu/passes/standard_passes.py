@@ -464,15 +464,13 @@ class MotionBlurPass(RenderPass):
         from lsr_tpu.passes.post import motion_blur_pass
 
         p = fp.pass_params.motion_blur
-        # HDR-space variant of the LDR reference pass: quantize to u8,
-        # blur, and blend back (keeps the pass order flexible).
-        ldr = jnp.clip(state["hdr"] * 255.0, 0, 255).astype(jnp.uint8)
-        blurred = motion_blur_pass(
-            ldr, state["depth"], state["velocity"], jnp.float32(fp.dt),
-            samples=p.samples, strength=p.strength,
+        # Runs directly on the HDR buffer (pass_motion_blur.hpp:40 operates
+        # on RT_ColorHDR) — no LDR quantization mid-chain.
+        out["hdr"] = motion_blur_pass(
+            state["hdr"], state["depth"], state["velocity"],
+            jnp.float32(fp.dt), samples=p.samples, strength=p.strength,
             depth_reject=p.depth_reject,
         )
-        out["hdr"] = blurred.astype(jnp.float32) / 255.0
         return out
 
 
@@ -491,13 +489,12 @@ class LightShaftsPass(RenderPass):
         cam = state["camera"]
         sctx = state["shade_ctx"]
         p = fp.pass_params.light_shafts
-        ldr = jnp.clip(state["hdr"] * 255.0, 0, 255).astype(jnp.uint8)
-        shafted = light_shafts_pass(
-            ldr, state["depth"], sctx.camera_pos, sctx.light_dir_ws,
-            cam.viewproj, steps=p.steps, density=p.density,
-            weight=p.weight, decay=p.decay,
+        # HDR in, HDR out (pass_light_shafts.hpp:44 runs on RT_ColorHDR).
+        out["hdr"] = light_shafts_pass(
+            state["hdr"], state["depth"], sctx.camera_pos,
+            sctx.light_dir_ws, cam.viewproj, steps=p.steps,
+            density=p.density, weight=p.weight, decay=p.decay,
         )
-        out["hdr"] = shafted.astype(jnp.float32) / 255.0
         return out
 
 

@@ -33,6 +33,7 @@ _PI = 3.14159265358979
     data_fields=[
         "light_dir_ws", "light_color", "light_intensity", "camera_pos",
         "materials", "textures", "shadow", "texture_quads", "ibl",
+        "mat_override",
     ],
     meta_fields=["surface_maps"],
 )
@@ -50,6 +51,9 @@ class ShadeContext:
     shadow: ShadowContext | None = None
     texture_quads: jnp.ndarray | None = None  # pack_texture_quads(textures)
     ibl: tuple | None = None  # (irradiance_faces, (prefiltered mips...))
+    mat_override: tuple | None = None  # per-pixel (albedo, metal, rough, ao,
+                                # emissive) — set by surface-map application
+                                # so ORM/emissive maps reach every model
     surface_maps: bool = False  # STATIC: any normal/ORM/emissive slot used
                                 # (set by make_shade_context; gates the
                                 # extra texture gathers per frame)
@@ -105,6 +109,9 @@ def _norm(v, eps=1e-12):
 
 def _gather_material(gb, ctx):
     from lsr_tpu.shading.common import gather_materials
+
+    if ctx.mat_override is not None:
+        return ctx.mat_override
 
     base, metal, rough, ao, emissive, tex_id = gather_materials(
         ctx.materials, gb.obj_id, mat_rec=getattr(gb, "mat", None)
