@@ -55,7 +55,19 @@ def build_scene():
 
     lb = LightSetBuilder()
     n_lights = int(os.environ.get("LSR_BENCH_LIGHTS", "256"))
-    for i in range(n_lights):
+    # The shadow budget picks the FIRST 8 spots + 2 points in visit order
+    # (plan_shadow_casters); emit those first so the budgeted casters sit
+    # over the scene like the reference workload.
+    for i in range(8):
+        x, z = float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5))
+        color = tuple(rng.uniform(0.2, 1.0, 3).tolist())
+        lb.spot((x, 3.0, z), (0, -1, 0), color=color, intensity=2.4,
+                range=5.0, inner_angle=0.4, outer_angle=0.7)
+    for i in range(2):
+        x, z = float(rng.uniform(-3, 3)), float(rng.uniform(-3, 3))
+        lb.point((x, 1.2, z), color=tuple(rng.uniform(0.2, 1.0, 3).tolist()),
+                 intensity=1.8, range=3.5)
+    for i in range(max(0, n_lights - 10)):
         x = float(rng.uniform(-7, 7))
         z = float(rng.uniform(-7, 7))
         y = float(rng.uniform(0.2, 2.2))
@@ -107,17 +119,50 @@ def main():
     warmup = int(os.environ.get("LSR_BENCH_WARMUP", "10"))
     cap = int(os.environ.get("LSR_BENCH_CAP", "2048"))
     shadow_size = int(os.environ.get("LSR_BENCH_SHADOW", "2048"))
+    local_map = int(os.environ.get("LSR_BENCH_LOCAL_MAP", "1024"))
+    local_point = int(os.environ.get("LSR_BENCH_LOCAL_POINT", "512"))
+    with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
+    with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
+    vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
     sun_dir = np.asarray([0.35, -0.75, 0.45], np.float32)
     shadow_params = ShadowPassParams(map_size=shadow_size, pcf_radius=2)
 
+    from lsr_tpu.geometry.occlusion import (
+        occlusion_cull_aabbs, render_occluder_depth)
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.lighting.local_shadows import (
+        plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.scene.scene import object_world_aabbs
+
     geom, objects, lights, ctx, eye0 = build_scene()
+    spot_ids, point_ids = plan_shadow_casters(lights) if with_local \
+        else ((), ())
 
     def frame(cam, ctx_t):
-        # Full flagship composition: sun shadow pass re-rendered per frame
-        # (the scene animates in the reference; hello_rendering_paths.cpp
-        # :6912 records shadows every frame) -> raster -> interp ->
-        # forward+ (sun shadow visibility + binned local lights) -> tonemap
-        # -> FXAA.
+        # Full flagship composition (hello_rendering_paths.cpp:8360 frame):
+        # per-frame frustum + occlusion scene cull (:94-97) -> sun shadow
+        # 2048^2 + 8-spot/2-point local shadow atlas (:104-109, re-recorded
+        # every frame) -> raster -> interp -> forward+ (sun PCF + local
+        # shadow planes + binned local lights) -> tonemap -> FXAA.
+        objs = objects
+        if with_cull:
+            wmin, wmax = object_world_aabbs(objects)
+            vis = objects.visible & frustum_cull_objects(
+                cam.viewproj, wmin, wmax)
+            occ = render_occluder_depth(
+                geom, objects, cam.viewproj, cam.zn, cam.zf, 320, 180,
+                occluder_mask=vis)
+            vis = vis & occlusion_cull_aabbs(
+                occ, cam.viewproj, wmin, wmax, cam.zn, cam.zf)
+            objs = dataclasses.replace(objects, visible=vis)
+
+        local_sh = None
+        if with_local and (spot_ids or point_ids):
+            local_sh = render_local_shadow_maps(
+                geom, objects, lights, spot_ids, point_ids,
+                map_size=local_map, point_size=local_point,
+                pcf_radius=1, vis_scale=vis_scale)
+
         sm_depth, light_vp = render_shadow_map(
             geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
         shadow_ctx = make_shadow_context(
@@ -132,13 +177,13 @@ def main():
 
         setup = scene_setup(
             geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
-            cam.viewproj, width, height,
+            geom.vtx_obj, geom.tri_obj, objs.model, objs.normal_mat,
+            cam.viewproj, width, height, obj_visible=objs.visible,
         )
         depth, tid, max_bin = rasterize_direct(
             setup, width, height, cam.zn, cam.zf
         )
-        if os.environ.get("LSR_BENCH_RESOLVE", "0") == "1":
+        if os.environ.get("LSR_BENCH_RESOLVE", "0") == "1" and local_sh is None:
             # Fully-fused resolve: interp + sun + lights + ambient in ONE
             # Pallas kernel; no intermediate G-buffer.
             hdr, stats = resolve_forward_plus(
@@ -157,6 +202,7 @@ def main():
                 # work (72.9 vs 75.9 ms whole-frame, scripts/dbg_frame2.py).
                 mode="tiled_depth_range",
                 sun_model="pbr_mr",
+                local_shadows=local_sh,
             )
         ldr = tonemap_pass(hdr)
         ldr = fxaa_pass(ldr)
@@ -208,10 +254,16 @@ def main():
 
     fps = frames / dt
     mtris = tris * fps / 1e6
+    wk = f"shadow {shadow_size}"
+    if with_local:
+        wk += (f" + local atlas {len(spot_ids)}x{local_map}"
+               f"+{len(point_ids)}x6x{local_point}")
+    if with_cull:
+        wk += " + cull 320x180"
     print(
         f"# {fps:.2f} fps ({dt / frames * 1000:.2f} ms/frame), "
         f"{mtris:.1f} Mtris/s at {width}x{height} "
-        f"(full frame: shadow {shadow_size} + forward+ + tonemap + fxaa)",
+        f"(full frame: {wk} + forward+ + tonemap + fxaa)",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -95,6 +95,43 @@ class BloomParams:
 
 
 @dataclasses.dataclass
+class LocalShadowParams:
+    """Local shadow atlas (shadow_technique.hpp:34-50 quality/budget defaults
+    + hello_rendering_paths.cpp:104-109 flagship workload).
+
+    spot_ids/point_ids are the budgeted shadow casters — host-side static
+    tuples produced by lighting.local_shadows.plan_shadow_casters (the
+    analog of the flagship's per-frame budget selection, which is stable
+    for a fixed light set)."""
+
+    enabled: bool = True
+    spot_ids: tuple = ()
+    point_ids: tuple = ()
+    map_size: int = 1024       # local_resolution (spot / area-proxy maps)
+    point_size: int = 512      # point_resolution (cube faces)
+    pcf_radius: int = 1        # ShadowFilter::PCF3x3
+    bias_const: float = 2e-3
+    bias_slope: float = 6e-3
+    vis_scale: int = 1         # sampling-resolution divisor for the
+                               # visibility planes (1 = per-pixel exact;
+                               # 2 = half-res + bilinear upsample, a
+                               # TPU perf knob documented in PARITY.md)
+
+
+@dataclasses.dataclass
+class CullingPassParams:
+    """Per-frame scene + light culling (hello_rendering_paths.cpp:94-97
+    proxy buffers; culling_runtime.hpp:111 frustum + :150 hysteresis)."""
+
+    frustum: bool = True
+    occlusion: bool = True
+    occ_width: int = 320
+    occ_height: int = 180
+    hold_frames: int = 4
+    cull_lights: bool = True
+
+
+@dataclasses.dataclass
 class PassParamBlocks:
     tonemap: TonemapParams = dataclasses.field(default_factory=TonemapParams)
     shadow: ShadowPassParams = dataclasses.field(default_factory=ShadowPassParams)
@@ -103,6 +140,10 @@ class PassParamBlocks:
     dof: DepthOfFieldParams = dataclasses.field(default_factory=DepthOfFieldParams)
     taa: TaaParams = dataclasses.field(default_factory=TaaParams)
     bloom: BloomParams = dataclasses.field(default_factory=BloomParams)
+    local_shadow: LocalShadowParams = dataclasses.field(
+        default_factory=LocalShadowParams)
+    culling: CullingPassParams = dataclasses.field(
+        default_factory=CullingPassParams)
 
 
 @dataclasses.dataclass

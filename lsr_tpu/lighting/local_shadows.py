@@ -1,20 +1,21 @@
 """Local light shadows: spot maps + point cube faces + area proxies.
 
 The TPU-native equivalent of the flagship's local shadow atlas
-(hello_rendering_paths.cpp:104-109 — up to 8 spot maps and 2 point
-lights x 6 cube faces — recorded by record_shadow_passes :6912) and the
-forward+ shader's `eval_local_shadow`
-(shaders/vulkan/fp_stress_scene.frag:355-414), with budgets/techniques per
-shadow_technique.hpp:18-119 (SpotMap2D / PointCube / AreaProxySpotMap2D,
-ShadowCasterBudget, ShadowQualityParams).
+(hello_rendering_paths.cpp:104-109 — up to 8 spot maps @1024^2 and 2 point
+lights x 6 cube faces @512^2 (shadow_technique.hpp:36-40 quality params) —
+recorded by record_shadow_passes :6912) and the forward+ shader's
+`eval_local_shadow` (shaders/vulkan/fp_stress_scene.frag:355-414), with
+budgets/techniques per shadow_technique.hpp:18-119 (SpotMap2D / PointCube /
+AreaProxySpotMap2D, ShadowCasterBudget, ShadowQualityParams).
 
 Design (TPU-first, not a port):
 
-- All local maps live in ONE depth atlas shaped (n_slots, S, S); a spot (or
-  area-proxy) light owns 1 slot, a point light owns 6 consecutive slots
-  (one per cube face).  Slots are rendered depth-only with the existing
-  DEPTH_NDC01 raster path via a `lax.map` over stacked view-projections —
-  one compiled program, n_slots sequential executions.
+- Spot (and area-proxy) maps form one depth stack (n_spot, S1, S1); point
+  cube faces form a second stack (n_point*6, S2, S2), both rendered
+  depth-only with the existing DEPTH_NDC01 raster path via a `lax.map`
+  over stacked view-projections — one compiled slot program per stack.
+  Casters are frustum-culled per slot against the slot's own frustum
+  (record_shadow_passes culls casters per light in the reference).
 - Sampling computes a per-pixel visibility PLANE per shadowed light
   (a (H, W, K+1) stack; channel K is the constant 1.0 "unshadowed" plane).
   Cube-face selection is per-pixel: the face index chooses the slot, and the
@@ -27,7 +28,11 @@ Design (TPU-first, not a port):
   an MXU-shaped op instead of a per-(pixel, light) gather.
 - PCF uses the packed-tap wide-gather path (see shadow_sample.py): the
   whole (2r+1)^2 window is one take_rows() gather from a flat tap table
-  covering the entire atlas.
+  covering the stack.
+- vis_scale > 1 evaluates the visibility planes on a strided pixel grid and
+  bilinearly upsamples — a perf knob for large framebuffers (each plane is
+  a full-screen gather whose cost is row-count-bound on TPU).  vis_scale=1
+  is the exact per-pixel reference semantics (PARITY.md documents the knob).
 
 Deviation from the reference, by intent: the reference's GLSL point-light
 depth test compares the NORMALIZED direction's major component (<= 1.0)
@@ -80,29 +85,37 @@ _TAP_STRIDE = 8  # anchor stride of the packed atlas windows
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["depth_taps", "viewproj", "caster_pos", "caster_range",
-                 "light_shadow_index", "strength", "bias_const", "bias_slope"],
-    meta_fields=["map_size", "pcf_radius", "kinds", "base_slots"],
+    data_fields=["spot_taps", "point_taps", "spot_viewproj", "point_viewproj",
+                 "caster_pos", "caster_range", "light_shadow_index",
+                 "strength", "bias_const", "bias_slope"],
+    meta_fields=["spot_size", "point_size", "pcf_radius", "kinds",
+                 "base_slots", "vis_scale"],
 )
 @dataclasses.dataclass(frozen=True)
 class LocalShadowMaps:
-    """The rendered local-shadow atlas + per-light sampling metadata.
+    """The rendered local-shadow stacks + per-light sampling metadata.
 
     K = number of shadowed lights; visibility stacks carry K+1 channels
     (channel K is the constant "no shadow" plane every other light indexes).
+    base_slots[k] indexes into the light's own stack: spot index for
+    SPOT_2D lights, first face row (6*p) for POINT_CUBE lights.
     """
-    depth_taps: jnp.ndarray        # (n_slots*S*S, (2r+1)^2) packed windows
-    viewproj: jnp.ndarray          # (n_slots, 16) row-major flattened
+    spot_taps: jnp.ndarray | None   # (n_spot*A1^2, win1^2) packed windows
+    point_taps: jnp.ndarray | None  # (n_point*6*A2^2, win2^2)
+    spot_viewproj: jnp.ndarray      # (n_spot, 16) row-major flattened
+    point_viewproj: jnp.ndarray     # (n_point*6, 16)
     caster_pos: jnp.ndarray        # (K, 3) light position per shadowed light
     caster_range: jnp.ndarray      # (K,)
     light_shadow_index: jnp.ndarray  # (L,) i32: k for shadowed, K otherwise
     strength: jnp.ndarray          # (K,)
     bias_const: jnp.ndarray        # scalar
     bias_slope: jnp.ndarray        # scalar
-    map_size: int = 512
+    spot_size: int = 1024
+    point_size: int = 512
     pcf_radius: int = 1
     kinds: tuple = ()              # per shadowed light: SHADOW_SPOT_2D | CUBE
-    base_slots: tuple = ()         # per shadowed light: first atlas slot
+    base_slots: tuple = ()         # per shadowed light: base in its stack
+    vis_scale: int = 1
 
     @property
     def n_shadowed(self) -> int:
@@ -110,7 +123,8 @@ class LocalShadowMaps:
 
     @property
     def n_slots(self) -> int:
-        return int(self.viewproj.shape[0])
+        return int(self.spot_viewproj.shape[0] +
+                   self.point_viewproj.shape[0])
 
 
 def plan_shadow_casters(lights: LightsSoA, max_spot: int = 8,
@@ -166,10 +180,54 @@ def _point_face_viewprojs(pos, rng):
     return vps
 
 
+def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
+                       use_tiled, pcf_radius):
+    """Depth-render every slot of one stack and pack its tap table."""
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.raster.brute import rasterize_brute
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import object_world_aabbs
+
+    one = jnp.float32(1.0)
+    wmin, wmax = object_world_aabbs(objects)
+
+    def render_slot(vp):
+        # Per-slot caster culling (the reference culls casters per light,
+        # record_shadow_passes :6912): casters outside the slot frustum
+        # produce no valid setup lanes, so the kernel skips them.
+        slot_mask = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+        setup = scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj,
+            objects.model, objects.normal_mat, vp,
+            size, size,
+            cull_mode=CULL_NONE,
+            obj_visible=slot_mask,
+        )
+        if use_tiled:
+            depth, _, _ = rasterize_direct(
+                setup, size, size, jnp.float32(0.0), one,
+                depth_mode=DEPTH_NDC01, track_ids=False,
+                tile_h=128, tile_w=128,
+            )
+        else:
+            depth, _ = rasterize_brute(
+                setup, size, size, jnp.float32(0.0), one,
+                depth_mode=DEPTH_NDC01,
+            )
+        return depth
+
+    depth = jax.lax.map(render_slot, vp_stack)      # (n, S, S)
+    taps = jax.vmap(
+        lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
+    return taps.reshape(depth.shape[0] * taps.shape[1], -1)
+
+
 @partial(
     jax.jit,
-    static_argnames=("spot_ids", "point_ids", "map_size", "pcf_radius",
-                     "cap", "use_tiled"),
+    static_argnames=("spot_ids", "point_ids", "map_size", "point_size",
+                     "pcf_radius", "cap", "use_tiled", "vis_scale"),
 )
 def render_local_shadow_maps(
     geom,
@@ -177,81 +235,64 @@ def render_local_shadow_maps(
     lights: LightsSoA,
     spot_ids: tuple,
     point_ids: tuple,
-    map_size: int = 512,
+    map_size: int = 1024,
+    point_size: int | None = None,
     pcf_radius: int = 1,
     bias_const: float = 2e-3,
     bias_slope: float = 6e-3,
     cap: int = 2048,
     use_tiled: bool = True,
+    vis_scale: int = 1,
 ) -> LocalShadowMaps:
-    """Render every budgeted local shadow slot and pack the sampling atlas.
+    """Render every budgeted local shadow slot and pack the sampling tables.
 
     The depth-only raster (record_shadow_passes :6912 analog) runs as ONE
-    compiled slot program swept over stacked view-projections with lax.map.
+    compiled slot program per stack swept over stacked view-projections
+    with lax.map.  map_size is the spot/area-proxy resolution
+    (local_resolution, shadow_technique.hpp:37); point_size the cube-face
+    resolution (point_resolution :38; defaults to map_size).
     """
-    from lsr_tpu.raster.brute import rasterize_brute
-    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
-    from lsr_tpu.raster.tiled import rasterize_direct
+    if point_size is None:
+        point_size = map_size
 
-    vps, kinds, base_slots, caster_pos, caster_range, strengths = \
-        [], [], [], [], [], []
-    slot = 0
+    kinds, base_slots, caster_pos, caster_range, strengths = \
+        [], [], [], [], []
+    spot_vps, point_vps = [], []
     for sid in spot_ids:
-        vps.append(_spot_viewproj(
+        spot_vps.append(_spot_viewproj(
             lights.position[sid], lights.direction[sid],
             lights.outer_angle[sid], lights.range[sid]))
         kinds.append(SHADOW_SPOT_2D)
-        base_slots.append(slot)
+        base_slots.append(len(spot_vps) - 1)
         caster_pos.append(lights.position[sid])
         caster_range.append(lights.range[sid])
         strengths.append(_LOCAL_STRENGTH)
-        slot += 1
     for pid in point_ids:
-        vps.extend(_point_face_viewprojs(lights.position[pid],
-                                         lights.range[pid]))
         kinds.append(SHADOW_POINT_CUBE)
-        base_slots.append(slot)
+        base_slots.append(len(point_vps))
+        point_vps.extend(_point_face_viewprojs(lights.position[pid],
+                                               lights.range[pid]))
         caster_pos.append(lights.position[pid])
         caster_range.append(lights.range[pid])
         strengths.append(_LOCAL_STRENGTH)
-        slot += 6
-
-    n_slots = slot
-    vp_stack = jnp.stack(vps)                       # (n_slots, 4, 4)
 
     caster_mask = objects.casts_shadow & objects.visible
-    one = jnp.float32(1.0)
 
-    def render_slot(vp):
-        setup = scene_setup(
-            geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj,
-            objects.model, objects.normal_mat, vp,
-            map_size, map_size,
-            cull_mode=CULL_NONE,
-            obj_visible=caster_mask,
-        )
-        if use_tiled:
-            depth, _, _ = rasterize_direct(
-                setup, map_size, map_size, jnp.float32(0.0), one,
-                depth_mode=DEPTH_NDC01, track_ids=False,
-                tile_h=128, tile_w=128,
-            )
-        else:
-            depth, _ = rasterize_brute(
-                setup, map_size, map_size, jnp.float32(0.0), one,
-                depth_mode=DEPTH_NDC01,
-            )
-        return depth
+    spot_vp = (jnp.stack(spot_vps) if spot_vps
+               else jnp.zeros((0, 4, 4), jnp.float32))
+    point_vp = (jnp.stack(point_vps) if point_vps
+                else jnp.zeros((0, 4, 4), jnp.float32))
 
-    depth = jax.lax.map(render_slot, vp_stack)      # (n_slots, S, S)
-
-    # Strided anchor windows (see shadow_sample.pack_shadow_taps): the whole
-    # atlas becomes one (n_slots * (S/stride)^2, (stride+2r)^2) row table so
-    # any slot samples with a single wide gather.
-    taps = jax.vmap(
-        lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
-    taps = taps.reshape(n_slots * taps.shape[1], -1)
+    spot_taps = None
+    if spot_vps:
+        spot_taps = _render_slot_stack(
+            geom, objects, spot_vp, map_size, caster_mask, use_tiled,
+            pcf_radius)
+    point_taps = None
+    if point_vps:
+        point_taps = _render_slot_stack(
+            geom, objects, point_vp, point_size, caster_mask, use_tiled,
+            pcf_radius)
 
     # Per-light index into the visibility stack: K for "unshadowed".
     k_total = len(kinds)
@@ -260,18 +301,22 @@ def render_local_shadow_maps(
         idx[sid] = k
 
     return LocalShadowMaps(
-        depth_taps=taps,
-        viewproj=vp_stack.reshape(n_slots, 16),
+        spot_taps=spot_taps,
+        point_taps=point_taps,
+        spot_viewproj=spot_vp.reshape(-1, 16),
+        point_viewproj=point_vp.reshape(-1, 16),
         caster_pos=jnp.stack(caster_pos),
         caster_range=jnp.stack(caster_range),
         light_shadow_index=jnp.asarray(idx),
         strength=jnp.asarray(strengths, jnp.float32),
         bias_const=jnp.float32(bias_const),
         bias_slope=jnp.float32(bias_slope),
-        map_size=map_size,
+        spot_size=map_size,
+        point_size=point_size,
         pcf_radius=pcf_radius,
         kinds=tuple(kinds),
         base_slots=tuple(base_slots),
+        vis_scale=vis_scale,
     )
 
 
@@ -286,6 +331,77 @@ def _project_rows(vp_rows, wp):
     return row(0), row(4), row(8), row(12)
 
 
+def _vis_plane(sh: LocalShadowMaps, k: int, world_pos, normal):
+    """Visibility plane for shadowed light k (eval_local_shadow analog)."""
+    base = sh.base_slots[k]
+    pos = sh.caster_pos[k]
+    rel = world_pos - pos[None, None, :]
+    rel_len = jnp.linalg.norm(rel, axis=-1)
+    l_dir = -rel / jnp.maximum(rel_len, 1e-8)[..., None]
+    ndl = jnp.maximum(jnp.sum(normal * l_dir, -1), 0.0)
+    bias = sh.bias_const + sh.bias_slope * (1.0 - jnp.clip(ndl, 0.0, 1.0))
+
+    if sh.kinds[k] == SHADOW_POINT_CUBE:
+        # Face = major axis of rel (point_shadow_face_uv :302 semantics);
+        # the slot's own VP then produces UV/z — consistent with the
+        # raster by construction.
+        s = sh.point_size
+        taps = sh.point_taps
+        ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
+                      jnp.abs(rel[..., 2]))
+        face_x = jnp.where(rel[..., 0] >= 0, 0, 1)
+        face_y = jnp.where(rel[..., 1] >= 0, 2, 3)
+        face_z = jnp.where(rel[..., 2] >= 0, 4, 5)
+        face = jnp.where(
+            (ax >= ay) & (ax >= az), face_x,
+            jnp.where(ay >= az, face_y, face_z),
+        )
+        slot = base + face
+        vp_rows = take_rows(sh.point_viewproj, slot)          # (H, W, 16)
+        in_reach = (rel_len > 1e-4) & (rel_len < sh.caster_range[k])
+    else:
+        s = sh.spot_size
+        taps = sh.spot_taps
+        slot = jnp.full(world_pos.shape[:-1], base, jnp.int32)
+        vp_rows = jnp.broadcast_to(
+            sh.spot_viewproj[base], world_pos.shape[:-1] + (16,))
+        in_reach = jnp.ones(world_pos.shape[:-1], bool)
+
+    px, py, pz, pw = _project_rows(vp_rows, world_pos)
+    w_ok = jnp.abs(pw) >= 1e-8
+    w_safe = jnp.where(w_ok, pw, 1.0)
+    u = (px / w_safe) * 0.5 + 0.5
+    v = (py / w_safe) * 0.5 + 0.5
+    z01 = (pz / w_safe) * 0.5 + 0.5
+    in_map = (
+        w_ok & in_reach & (pw > 0.0)
+        & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+        & (z01 > 0.0) & (z01 < 1.0)
+    )
+
+    cx = jnp.clip(jnp.round(u * (s - 1)), 0, s - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(v * (s - 1)), 0, s - 1).astype(jnp.int32)
+    r = sh.pcf_radius
+    stride = _TAP_STRIDE
+    win = stride + 2 * r
+    n_anchor = -(-s // stride)
+    ax_i = cx // stride
+    ay_i = cy // stride
+    rx = (cx - ax_i * stride)[..., None]
+    ry = (cy - ay_i * stride)[..., None]
+    rows = (slot * n_anchor + ay_i) * n_anchor + ax_i
+    window = take_rows(taps, rows)                      # (H, W, win^2)
+    lane = jnp.arange(win * win, dtype=jnp.int32)
+    li, lj = lane // win, lane % win
+    m = ((li >= ry) & (li <= ry + 2 * r)
+         & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
+    z_test = (z01 - bias)[..., None]
+    lit = jnp.sum((z_test <= window).astype(jnp.float32) * m, -1)
+    vis = lit / float((2 * r + 1) ** 2)
+    vis = 1.0 + (vis - 1.0) * jnp.clip(sh.strength[k], 0.0, 1.0)
+    return jnp.where(in_map, vis, 1.0)
+
+
 def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
     """Per-pixel visibility for each shadowed light: (H, W, K+1).
 
@@ -293,73 +409,20 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
     project into the light frustum (cube lights select the face per pixel
     first), PCF-compare biased NDC01 depth, then mix(1, vis, strength).
     Channel K is constant 1.0 so unshadowed lights can index it.
+
+    When sh.vis_scale > 1, planes are evaluated on a vis_scale-strided
+    pixel grid and bilinearly upsampled (perf knob; PARITY.md).
     """
-    s = sh.map_size
-    planes = []
-    for k in range(sh.n_shadowed):
-        base = sh.base_slots[k]
-        pos = sh.caster_pos[k]
-        rel = world_pos - pos[None, None, :]
-        rel_len = jnp.linalg.norm(rel, axis=-1)
-        l_dir = -rel / jnp.maximum(rel_len, 1e-8)[..., None]
-        ndl = jnp.maximum(jnp.sum(normal * l_dir, -1), 0.0)
-        bias = sh.bias_const + sh.bias_slope * (1.0 - jnp.clip(ndl, 0.0, 1.0))
+    sc = max(1, int(sh.vis_scale))
+    wp, nm = world_pos, normal
+    if sc > 1:
+        wp = world_pos[::sc, ::sc]
+        nm = normal[::sc, ::sc]
 
-        if sh.kinds[k] == SHADOW_POINT_CUBE:
-            # Face = major axis of rel (point_shadow_face_uv :302 semantics);
-            # the slot's own VP then produces UV/z — consistent with the
-            # raster by construction.
-            ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
-                          jnp.abs(rel[..., 2]))
-            face_x = jnp.where(rel[..., 0] >= 0, 0, 1)
-            face_y = jnp.where(rel[..., 1] >= 0, 2, 3)
-            face_z = jnp.where(rel[..., 2] >= 0, 4, 5)
-            face = jnp.where(
-                (ax >= ay) & (ax >= az), face_x,
-                jnp.where(ay >= az, face_y, face_z),
-            )
-            slot = base + face
-            vp_rows = take_rows(sh.viewproj, slot)          # (H, W, 16)
-            in_reach = (rel_len > 1e-4) & (rel_len < sh.caster_range[k])
-        else:
-            slot = jnp.full(world_pos.shape[:-1], base, jnp.int32)
-            vp_rows = jnp.broadcast_to(
-                sh.viewproj[base], world_pos.shape[:-1] + (16,))
-            in_reach = jnp.ones(world_pos.shape[:-1], bool)
-
-        px, py, pz, pw = _project_rows(vp_rows, world_pos)
-        w_ok = jnp.abs(pw) >= 1e-8
-        w_safe = jnp.where(w_ok, pw, 1.0)
-        u = (px / w_safe) * 0.5 + 0.5
-        v = (py / w_safe) * 0.5 + 0.5
-        z01 = (pz / w_safe) * 0.5 + 0.5
-        in_map = (
-            w_ok & in_reach & (pw > 0.0)
-            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
-            & (z01 > 0.0) & (z01 < 1.0)
-        )
-
-        cx = jnp.clip(jnp.round(u * (s - 1)), 0, s - 1).astype(jnp.int32)
-        cy = jnp.clip(jnp.round(v * (s - 1)), 0, s - 1).astype(jnp.int32)
-        r = sh.pcf_radius
-        stride = _TAP_STRIDE
-        win = stride + 2 * r
-        n_anchor = -(-s // stride)
-        ax_i = cx // stride
-        ay_i = cy // stride
-        rx = (cx - ax_i * stride)[..., None]
-        ry = (cy - ay_i * stride)[..., None]
-        rows = (slot * n_anchor + ay_i) * n_anchor + ax_i
-        window = take_rows(sh.depth_taps, rows)             # (H, W, win^2)
-        lane = jnp.arange(win * win, dtype=jnp.int32)
-        li, lj = lane // win, lane % win
-        m = ((li >= ry) & (li <= ry + 2 * r)
-             & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
-        z_test = (z01 - bias)[..., None]
-        lit = jnp.sum((z_test <= window).astype(jnp.float32) * m, -1)
-        vis = lit / float((2 * r + 1) ** 2)
-        vis = 1.0 + (vis - 1.0) * jnp.clip(sh.strength[k], 0.0, 1.0)
-        planes.append(jnp.where(in_map, vis, 1.0))
-
-    planes.append(jnp.ones(world_pos.shape[:-1], jnp.float32))
-    return jnp.stack(planes, axis=-1)
+    planes = [_vis_plane(sh, k, wp, nm) for k in range(sh.n_shadowed)]
+    planes.append(jnp.ones(wp.shape[:-1], jnp.float32))
+    stack = jnp.stack(planes, axis=-1)
+    if sc > 1:
+        stack = jax.image.resize(
+            stack, world_pos.shape[:-1] + (stack.shape[-1],), "bilinear")
+    return stack

@@ -29,11 +29,36 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
     geom = state["geom"]
     objects = state["objects"]
     cam = state["camera"]
+
+    # Reuse an earlier raster in the SAME plan (a depth_prepass): the
+    # visibility buffer is complete, so the color pass only interpolates —
+    # the reference's prepass-z + color-pass structure without paying the
+    # raster twice.
+    if ("depth" in state and "tid" in state and "setup" in state
+            and not depth_only):
+        setup = state["setup"]
+        out = dict(state)
+        gb = interpolate_gbuffer(setup, state["depth"], state["tid"],
+                                 materials=state["shade_ctx"].materials)
+        out["gbuffer"] = gb
+        if fp.enable_motion_vectors:
+            from lsr_tpu.passes.post import motion_vectors_pass
+
+            out["velocity"] = motion_vectors_pass(
+                gb, objects, cam.viewproj, cam.prev_viewproj,
+                fp.width, fp.height,
+            )
+        else:
+            out["velocity"] = jnp.zeros((fp.height, fp.width, 2), jnp.float32)
+        return out
+    # Camera raster uses the culled view mask when a scene_cull pass ran
+    # (shadow passes keep objects.visible — off-screen casters still cast).
+    view_mask = state.get("view_mask", objects.visible)
     setup = scene_setup(
         geom.positions, geom.normals, geom.uvs, geom.indices,
         geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
         cam.viewproj, fp.width, fp.height,
-        cull_mode=fp.cull_mode, obj_visible=objects.visible,
+        cull_mode=fp.cull_mode, obj_visible=view_mask,
     )
     # The listless kernel needs the packed setup resident in VMEM; fall back
     # to the binned kernel for very large scenes.  use_tiled_raster=False
@@ -102,6 +127,120 @@ def _sun_shade(state, fp):
         ctx = dataclasses.replace(ctx, shadow=state["shadow_ctx"])
     shaded = SHADING_MODELS[model](gb, ctx)
     return composite_over_background(shaded, gb, _background(state, fp))
+
+
+class SceneCullPass(RenderPass):
+    """Per-frame scene + light culling (the flagship's draw_frame cull step,
+    hello_rendering_paths.cpp:8360 / culling_runtime.hpp:111-150):
+
+    - frustum-cull object world AABBs against the camera,
+    - optionally refine with HiZ occlusion against a low-res occluder depth
+      proxy (320x180 default, hello_rendering_paths.cpp:94-97),
+    - apply VisibilityHistory hysteresis (persistent 'vis_history' state) so
+      conservative flicker doesn't pop,
+    - optionally cull LIGHTS the same way (frustum + occlusion on their
+      bounding spheres) by masking lights.enabled.
+
+    Writes 'view_mask' — consumed by camera raster passes only.  Shadow
+    passes keep objects.visible: casters outside the camera frustum still
+    cast (the reference keeps separate scene/shadow element sets).
+    """
+
+    def __init__(self):
+        super().__init__("scene_cull",
+                         reads=("geom", "objects", "camera"),
+                         writes=("view_mask", "lights", "vis_history"),
+                         contract=STANDARD_CONTRACTS["scene_cull"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.geometry.occlusion import (
+            occlusion_cull_aabbs, render_occluder_depth)
+        from lsr_tpu.geometry.volumes import (
+            frustum_cull_objects, update_visibility_history)
+        from lsr_tpu.scene.scene import object_world_aabbs
+
+        p = fp.pass_params.culling
+        out = dict(state)
+        objects = state["objects"]
+        cam = state["camera"]
+        vis = objects.visible
+        wmin, wmax = object_world_aabbs(objects)
+        if p.frustum:
+            vis = vis & frustum_cull_objects(cam.viewproj, wmin, wmax)
+        occ_depth = None
+        if p.occlusion:
+            occ_depth = render_occluder_depth(
+                state["geom"], objects, cam.viewproj, cam.zn, cam.zf,
+                p.occ_width, p.occ_height, occluder_mask=vis)
+            vis = vis & occlusion_cull_aabbs(
+                occ_depth, cam.viewproj, wmin, wmax, cam.zn, cam.zf)
+
+        hist = state.get("vis_history")
+        if hist is None:
+            # Init at hold_frames: an object never seen is NOT "recently
+            # visible" (update_visibility_history contract, volumes.py).
+            hist = jnp.full(vis.shape, p.hold_frames, jnp.int32)
+        new_hist, effective = update_visibility_history(
+            hist, vis, hold_frames=p.hold_frames)
+        out["vis_history"] = new_hist
+        out["view_mask"] = effective & objects.visible
+
+        if p.cull_lights and "lights" in state:
+            from lsr_tpu.geometry.volumes import extract_frustum_planes
+
+            lights = state["lights"]
+            planes = extract_frustum_planes(cam.viewproj)  # (6, 4)
+            # Sphere-vs-frustum: centre distance >= -radius on all planes
+            # (the reference tests light culling shapes the same way,
+            # light_culling_runtime.hpp:266 frustum prefilter).
+            pos = lights.position
+            r = jnp.maximum(lights.range, 0.0)
+            d = (planes[:, None, :3] * pos[None, :, :]).sum(-1) \
+                + planes[:, None, 3]
+            in_frustum = jnp.all(d >= -r[None, :], axis=0)
+            # Global lights (directional / env probe) are never culled.
+            local = (lights.type != 0) & (lights.type != 5)
+            lmask = jnp.where(local, in_frustum, True)
+            if p.occlusion and occ_depth is not None:
+                lmin = pos - r[:, None]
+                lmax = pos + r[:, None]
+                lvis = occlusion_cull_aabbs(
+                    occ_depth, cam.viewproj, lmin, lmax, cam.zn, cam.zf)
+                lmask = lmask & jnp.where(local, lvis, True)
+            out["lights"] = dataclasses.replace(
+                lights, enabled=lights.enabled & lmask)
+        return out
+
+
+class LocalShadowsPass(RenderPass):
+    """Local shadow atlas render (record_shadow_passes analog,
+    hello_rendering_paths.cpp:104-109 + :6912): budgeted spot maps + point
+    cube faces, rendered per frame into depth stacks the lighting passes
+    sample via per-light visibility planes."""
+
+    def __init__(self):
+        super().__init__("local_shadows",
+                         reads=("geom", "objects", "lights"),
+                         writes=("local_shadow_maps",),
+                         contract=STANDARD_CONTRACTS["local_shadows"])
+
+    def execute_resolved(self, ctx, state, fp, request):
+        from lsr_tpu.lighting.local_shadows import render_local_shadow_maps
+
+        p = fp.pass_params.local_shadow
+        out = dict(state)
+        if not (fp.enable_shadows and p.enabled
+                and (p.spot_ids or p.point_ids)):
+            out["local_shadow_maps"] = None
+            return out
+        out["local_shadow_maps"] = render_local_shadow_maps(
+            state["geom"], state["objects"], state["lights"],
+            spot_ids=tuple(p.spot_ids), point_ids=tuple(p.point_ids),
+            map_size=p.map_size, point_size=p.point_size,
+            pcf_radius=p.pcf_radius, bias_const=p.bias_const,
+            bias_slope=p.bias_slope, vis_scale=p.vis_scale,
+        )
+        return out
 
 
 class SkyPass(RenderPass):
@@ -272,10 +411,20 @@ def _local_lights(state, fp):
         view_z = cam.zn + gb.depth01 * (cam.zf - cam.zn)
         cluster = view_depth_to_cluster_slice(view_z, cam.zn, cam.zf,
                                               grid["slices"])
+    vis_stack = shadow_index = None
+    if state.get("local_shadow_maps") is not None:
+        from lsr_tpu.lighting.local_shadows import local_shadow_vis_stack
+        from lsr_tpu.shading.models import _norm
+
+        sh = state["local_shadow_maps"]
+        vis_stack = local_shadow_vis_stack(
+            sh, gb.world_pos, _norm(gb.normal_ws))
+        shadow_index = sh.light_shadow_index
     diff, spec = accumulate_local_lights(
         gb.world_pos, gb.normal_ws, sctx.camera_pos, state["lights"],
         grid["lists"], fp.width, fp.height, tile_size=t.tile_size,
         cluster_of_pixel=cluster, slices=grid["slices"],
+        shadow_vis_stack=vis_stack, light_shadow_index=shadow_index,
     )
     from lsr_tpu.shading.common import gather_materials, sample_texture_bilinear
 
@@ -329,7 +478,8 @@ class _LightingBase(RenderPass):
                 cam.zf, fp.width, fp.height, tile_size=t.tile_size,
                 cap=t.max_lights_per_tile, mode=mode,
                 slices=t.cluster_slices, sun_model=fp.shading_model,
-                use_kernel=True)
+                use_kernel=True,
+                local_shadows=state.get("local_shadow_maps"))
             # shade_forward_plus composites a constant background; swap in
             # the frame's actual background plane (sky pass output etc.).
             hdr = jnp.where(gb.covered[..., None], hdr, bg)
@@ -567,7 +717,9 @@ def make_standard_registry() -> PassFactoryRegistry:
     reg = PassFactoryRegistry()
     fp_modes = TechniqueMode.FORWARD_PLUS | TechniqueMode.TILED_DEFERRED
     reg.register("sky", SkyPass)
+    reg.register("scene_cull", SceneCullPass)
     reg.register("shadow_map", ShadowMapPass)
+    reg.register("local_shadows", LocalShadowsPass)
     reg.register("depth_prepass", DepthPrepass)
     reg.register("gbuffer", GBufferPass,
                  PassDescriptor(modes=TechniqueMode.DEFERRED

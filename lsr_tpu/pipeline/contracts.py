@@ -12,7 +12,10 @@ import dataclasses
 
 from lsr_tpu.core.frame import TechniqueMode
 
-# The 15 standard semantics (pass_contract.hpp:34) adapted to the TPU design.
+# The 15 standard semantics (pass_contract.hpp:34) adapted to the TPU design,
+# plus two extensions for subsystems the reference wires outside its contract
+# system (the flagship's per-frame culling results and local shadow atlas,
+# hello_rendering_paths.cpp:94-109 — passed as demo-level state there).
 SEMANTICS = (
     "scene_color_hdr",
     "scene_color_ldr",
@@ -29,6 +32,8 @@ SEMANTICS = (
     "sky_color",
     "luma",
     "debug_overlay",
+    "visibility",
+    "local_shadow_atlas",
 )
 
 # Default representation per semantic (pass_contract.hpp:218).
@@ -48,6 +53,8 @@ DEFAULT_SPACE = {
     "sky_color": "linear_f32",
     "luma": "scalar01",
     "debug_overlay": "linear_f32",
+    "visibility": "mask_bool",
+    "local_shadow_atlas": "depth01",
 }
 
 
@@ -76,8 +83,14 @@ def _ref(sem, **kw):
 
 # Contract registry for the standard passes (pass_contract_registry.hpp:22-262).
 STANDARD_CONTRACTS = {
+    "scene_cull": PassContract(
+        role="culling", produces=(_ref("visibility"),),
+    ),
     "shadow_map": PassContract(
         role="shadow", produces=(_ref("shadow_map"),),
+    ),
+    "local_shadows": PassContract(
+        role="shadow", produces=(_ref("local_shadow_atlas"),),
     ),
     "depth_prepass": PassContract(
         role="depth", produces=(_ref("scene_depth"),),

@@ -99,7 +99,7 @@ class PluggablePipeline:
         self._capture_persistent(out)
         return out
 
-    PERSISTENT_KEYS = ("history_color",)
+    PERSISTENT_KEYS = ("history_color", "vis_history")
 
     def execute_jitted(self, ctx: RenderContext, frame_state: dict, fp) -> dict:
         """Whole-plan jit: every pass traces into ONE compiled program.

@@ -34,8 +34,13 @@ class RenderPathRecipe:
     backend: str = "xla"
     light_culling: LightCullingMode = LightCullingMode.NONE
     shadows: bool = False
+    local_shadows: bool = False  # budgeted local shadow atlas (flagship
+                                 # workload, hello_rendering_paths.cpp:104-109)
     occlusion_culling: bool = False
     frustum_culling: bool = True
+    per_frame_culling: bool = False  # scene_cull pass in the chain (frustum
+                                 # + occlusion proxy + hysteresis per frame,
+                                 # hello_rendering_paths.cpp:94-97/:8360)
     pass_chain: tuple = ()
     tile_size: int = 16
     max_lights_per_tile: int = 128
@@ -99,6 +104,10 @@ def compile_recipe(
             problem(f"{recipe.name}: shadows requested but capability missing")
         if "shadow_map" not in chain:
             chain.insert(0, "shadow_map")
+        # Rule: local shadow atlas right after the sun map (the flagship
+        # records sun + local maps together, record_shadow_passes :6912).
+        if recipe.local_shadows and "local_shadows" not in chain:
+            chain.insert(chain.index("shadow_map") + 1, "local_shadows")
 
     # Rule: occlusion culling => depth prepass.
     if recipe.occlusion_culling:
@@ -107,6 +116,14 @@ def compile_recipe(
         if "depth_prepass" not in chain:
             insert_at = 1 if chain and chain[0] == "shadow_map" else 0
             chain.insert(insert_at, "depth_prepass")
+
+    # Rule: per-frame culling => a scene_cull pass leads the chain (cull
+    # before shadows/raster, draw_frame :8360 order).
+    if recipe.per_frame_culling:
+        if recipe.occlusion_culling and not caps.occlusion_culling:
+            problem(f"{recipe.name}: occlusion requested but capability missing")
+        if "scene_cull" not in chain:
+            chain.insert(0, "scene_cull")
 
     # Rule: a light-culling mode needs the light culling capability.
     if recipe.light_culling != LightCullingMode.NONE and not caps.light_culling:
@@ -165,34 +182,40 @@ def compile_recipe(
 # ---------------------------------------------------------------------------
 
 def builtin_render_path_presets() -> List[RenderPathRecipe]:
+    """The 5 flagship render paths (render_path_presets.hpp:26), each with
+    the flagship's full per-frame workload: scene+light culling (frustum +
+    occlusion proxy) and the budgeted local shadow atlas on top of the sun
+    map (hello_rendering_paths.cpp:94-109)."""
+    common = dict(shadows=True, local_shadows=True, per_frame_culling=True,
+                  occlusion_culling=True)
     return [
         RenderPathRecipe(
             name="forward_classic",
             technique=TechniqueMode.FORWARD,
-            shadows=True,
+            **common,
         ),
         RenderPathRecipe(
             name="forward_plus",
             technique=TechniqueMode.FORWARD_PLUS,
             light_culling=LightCullingMode.TILED,
-            shadows=True,
+            **common,
         ),
         RenderPathRecipe(
             name="deferred",
             technique=TechniqueMode.DEFERRED,
-            shadows=True,
+            **common,
         ),
         RenderPathRecipe(
             name="tiled_deferred",
             technique=TechniqueMode.TILED_DEFERRED,
             light_culling=LightCullingMode.TILED_DEPTH_RANGE,
-            shadows=True,
+            **common,
         ),
         RenderPathRecipe(
             name="clustered_forward",
             technique=TechniqueMode.CLUSTERED_FORWARD,
             light_culling=LightCullingMode.CLUSTERED,
-            shadows=True,
+            **common,
         ),
     ]
 

@@ -123,6 +123,44 @@ def main():
     _, ms = timeit("fxaa", f_fxaa, ldr, iters=it)
     total += ms
 
+    # --- New flagship stages (round 3): per-frame cull + local shadow atlas
+    from lsr_tpu.geometry.occlusion import (
+        occlusion_cull_aabbs, render_occluder_depth)
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.lighting.local_shadows import (
+        local_shadow_vis_stack, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.scene.scene import object_world_aabbs
+    from lsr_tpu.shading.models import _norm
+
+    def cull_step(vp):
+        wmin, wmax = object_world_aabbs(objects)
+        vis = objects.visible & frustum_cull_objects(vp, wmin, wmax)
+        occ = render_occluder_depth(geom, objects, vp, cam.zn, cam.zf,
+                                    320, 180, occluder_mask=vis)
+        return vis & occlusion_cull_aabbs(occ, vp, wmin, wmax, cam.zn, cam.zf)
+
+    _, ms = timeit("scene_cull (frustum+occ 320x180)", jax.jit(cull_step),
+                   cam.viewproj, iters=it)
+    total += ms
+
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    if spot_ids or point_ids:
+        vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
+        f_local = jax.jit(lambda: render_local_shadow_maps(
+            geom, objects, lights, spot_ids, point_ids,
+            map_size=1024, point_size=512, pcf_radius=1,
+            vis_scale=vis_scale))
+        sh, ms = timeit(
+            f"local_atlas {len(spot_ids)}sx1024+{len(point_ids)}px512",
+            f_local, iters=it)
+        total += ms
+
+        f_vstack = jax.jit(lambda s, g: local_shadow_vis_stack(
+            s, g.world_pos, _norm(g.normal_ws)))
+        _, ms = timeit(f"local_vis_stack K={sh.n_shadowed} vs={vis_scale}",
+                       f_vstack, sh, gb, iters=it)
+        total += ms
+
     print(f"{'TOTAL (sum of stages)':36s} {total:8.2f} ms "
           f"({1000.0 / total:.1f} fps equivalent)")
 

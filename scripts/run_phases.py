@@ -68,7 +68,18 @@ def scene_state(w, h, n_lights=48, seed=4):
 
     lb = LightSetBuilder()
     rng = np.random.default_rng(seed)
-    for _ in range(n_lights):
+    # Budgeted shadow casters first (the flagship workload: 8 spots + 2
+    # points get shadow maps, hello_rendering_paths.cpp:104-109).
+    for i in range(8):
+        p = rng.uniform([-3, 2.0, -3], [3, 3.2, 3])
+        lb.spot(tuple(p.tolist()), (0, -1, 0),
+                color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
+                intensity=2.0, range=4.5, inner_angle=0.4, outer_angle=0.7)
+    for i in range(2):
+        lb.point(tuple(rng.uniform([-2, 0.8, -2], [2, 1.6, 2]).tolist()),
+                 color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
+                 intensity=1.6, range=3.5)
+    for _ in range(max(0, n_lights - 10)):
         lb.point(tuple(rng.uniform([-3, 0.2, -3], [3, 2, 3]).tolist()),
                  color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
                  intensity=1.4, range=2.4)
@@ -91,12 +102,19 @@ _MODE_FOR = {
 
 
 def build_preset_pipelines(width, height, presets=None,
-                           post=("fxaa",), use_tiled=True):
-    """{preset_name: frame_fn(i) -> ldr} through the real pipeline."""
+                           post=("fxaa",), use_tiled=True,
+                           local_map=1024, local_point=512):
+    """{preset_name: frame_fn(i) -> ldr} through the real pipeline.
+
+    Every preset runs the full flagship workload: scene_cull (frustum +
+    320x180 occlusion + hysteresis), sun shadow map, and the budgeted local
+    shadow atlas (8 spots @local_map + 2 points x 6 faces @local_point —
+    reference sizes 1024/512, shadow_technique.hpp:37-38)."""
     import jax
     import jax.numpy as jnp
 
     from lsr_tpu.core.frame import FrameParams, TechniqueMode
+    from lsr_tpu.lighting.local_shadows import plan_shadow_casters
     from lsr_tpu.passes.standard_passes import make_standard_registry
     from lsr_tpu.pipeline.executor import RenderContext
     from lsr_tpu.pipeline.pipeline import PluggablePipeline
@@ -104,6 +122,7 @@ def build_preset_pipelines(width, height, presets=None,
     from lsr_tpu.scene.scene import make_camera
 
     base_state = scene_state(width, height)
+    spot_ids, point_ids = plan_shadow_casters(base_state["lights"])
     out = {}
     for preset in builtin_render_path_presets():
         if presets and preset.name not in presets:
@@ -116,6 +135,10 @@ def build_preset_pipelines(width, height, presets=None,
         fp.enable_bloom = "bloom" in post
         fp.enable_taa = False
         fp.use_tiled_raster = use_tiled
+        fp.pass_params.local_shadow = dataclasses.replace(
+            fp.pass_params.local_shadow, spot_ids=spot_ids,
+            point_ids=point_ids, map_size=local_map,
+            point_size=local_point)
 
         reg = make_standard_registry()
         pipe = PluggablePipeline(preexisting_semantics=())
@@ -160,8 +183,13 @@ def main():
     if os.environ.get("LSR_PHASE_I", "1") == "1":
         w = int(os.environ.get("LSR_PHASE_W", "320"))
         h = int(os.environ.get("LSR_PHASE_H", "180"))
-        tiled = build_preset_pipelines(w, h, presets, use_tiled=True)
-        brute = build_preset_pipelines(w, h, presets, use_tiled=False)
+        # Parity sweep uses reduced local-map sizes (identical on BOTH
+        # backends, so hashes still must match) to keep the brute anchor
+        # tractable at 20 shadow slots.
+        tiled = build_preset_pipelines(w, h, presets, use_tiled=True,
+                                       local_map=256, local_point=128)
+        brute = build_preset_pipelines(w, h, presets, use_tiled=False,
+                                       local_map=256, local_point=128)
         comps = {name: {"pallas_tiled": tiled[name],
                         "xla_brute": brute[name]} for name in tiled}
         write_jsonl("artifacts/phase_i_backend_parity.jsonl", [{

@@ -234,7 +234,8 @@ def test_recipe_capability_check():
 
 def test_builtin_presets_compile():
     reg = _registry_with(
-        "shadow_map", "depth_prepass", "light_culling", "cluster_build",
+        "scene_cull", "shadow_map", "local_shadows", "depth_prepass",
+        "light_culling", "cluster_build",
         "cluster_light_assign", "gbuffer", "deferred_lighting",
         "deferred_lighting_tiled", "pbr_forward", "pbr_forward_plus",
         "pbr_forward_clustered", "tonemap", "fxaa", "bloom", "taa",
@@ -244,6 +245,12 @@ def test_builtin_presets_compile():
         rep = compile_recipe(preset, reg)
         assert rep.ok, (preset.name, rep.errors)
         assert rep.passes[-1] == "tonemap"
+        # The flagship workload is part of every preset chain
+        # (hello_rendering_paths.cpp:94-109).
+        assert rep.passes[0] == "scene_cull"
+        assert "local_shadows" in rep.passes
+        assert rep.passes.index("local_shadows") \
+            > rep.passes.index("shadow_map")
 
 
 def test_pipeline_end_to_end_with_dummy_backend():

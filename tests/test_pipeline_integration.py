@@ -187,3 +187,100 @@ def test_jitted_execution_matches_eager():
     out2 = pipe2.execute_jitted(RenderContext(), dict(state), fp)
     assert np.isfinite(np.asarray(out2["ldr"]).astype(np.float64)).all()
     pipe2.reset_history()
+
+
+def test_flagship_workload_culling_and_local_shadows():
+    """The reference-complete flagship frame through a preset: per-frame
+    scene+light culling (hello_rendering_paths.cpp:94-97) and the budgeted
+    local shadow atlas (:104-109) both run inside the pipeline."""
+    import dataclasses
+
+    from lsr_tpu.io.obj import make_cube
+    from lsr_tpu.lighting.local_shadows import plan_shadow_casters
+
+    w, h = 96, 64
+    sb = SceneBuilder()
+    sb.add(load_obj(MONKEY), np.asarray(m3.translate([0, 0.2, 0])))
+    sb.add(make_cube(0.8), np.asarray(m3.translate([1.2, 0.3, 0.5])))
+    # Behind the camera: frustum culling must drop it from the view (but it
+    # may still cast shadows).
+    sb.add(load_obj(MONKEY), np.asarray(m3.translate([0.5, 1.5, -9.0])))
+    sb.add(make_plane(6.0, y=-1.0), material=1, casts_shadow=False)
+    geom, objects = sb.build()
+    cam = make_camera(w, h, (0.5, 1.5, -4.0), (0, 0, 0))
+    lb = LightSetBuilder()
+    lb.spot((1.2, 3.0, 0.5), (0, -1, 0), intensity=6.0, range=8.0,
+            inner_angle=0.5, outer_angle=1.0)
+    lb.point((0.0, 1.2, 1.5), intensity=3.0, range=6.0)
+    # A far-away light the frustum light-culling should disable.
+    lb.point((80.0, 1.0, 80.0), intensity=3.0, range=2.0)
+    lights = lb.build()
+    mats = make_materials(base_color=[(0.8, 0.5, 0.3), (0.5, 0.55, 0.6)],
+                          roughness=[0.4, 0.8])
+    ctx = make_shade_context(mats, light_dir_ws=(0.35, -0.7, 0.5),
+                             camera_pos=(0.5, 1.5, -4.0), light_intensity=2.0)
+    state0 = {"geom": geom, "objects": objects, "camera": cam,
+              "lights": lights, "shade_ctx": ctx}
+
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    assert spot_ids == (0,) and 1 in point_ids
+
+    preset = builtin_render_path_presets()[1]  # forward_plus, full workload
+    reg = make_standard_registry()
+    fp = FrameParams(width=w, height=h)
+    fp.technique.mode = TechniqueMode.FORWARD_PLUS
+    fp.technique.light_culling = preset.light_culling
+    fp.technique.tile_size = 16
+    fp.technique.max_lights_per_tile = 32
+    fp.pass_params.shadow.map_size = 128
+    fp.pass_params.local_shadow = dataclasses.replace(
+        fp.pass_params.local_shadow, spot_ids=spot_ids,
+        point_ids=point_ids, map_size=128, point_size=64)
+    fp.raster_tile_h = 16
+
+    pipe = PluggablePipeline(preexisting_semantics=())
+    assert pipe.configure_from_recipe(preset, reg).ok
+    order = [p.pass_id for p in pipe.passes]
+    assert order[0] == "scene_cull" and "local_shadows" in order
+
+    ctx_rt = RenderContext()
+    state = pipe.execute(ctx_rt, dict(state0), fp)
+    img_sh = np.asarray(state["ldr"])
+
+    # Culling: the behind-camera monkey is view-culled; others visible.
+    vm = np.asarray(state["view_mask"])
+    assert not vm[2] and vm[0] and vm[1] and vm[3]
+    # Light culling disabled the far light, kept the near ones.
+    le = np.asarray(state["lights"].enabled)
+    assert le[0] and le[1] and not le[2]
+    # Local shadow maps were rendered (1 spot + 2 points x 6 cube faces —
+    # the static budget includes the far light; only per-frame culling
+    # disables it).
+    sh = state["local_shadow_maps"]
+    assert sh is not None and sh.n_slots == 13
+
+    # Local shadows darken: re-run with the atlas disabled.
+    fp2 = FrameParams(width=w, height=h)
+    fp2.technique.mode = fp.technique.mode
+    fp2.technique.light_culling = fp.technique.light_culling
+    fp2.technique.tile_size = 16
+    fp2.technique.max_lights_per_tile = 32
+    fp2.pass_params.shadow.map_size = 128
+    fp2.pass_params.local_shadow = dataclasses.replace(
+        fp2.pass_params.local_shadow, enabled=False)
+    fp2.raster_tile_h = 16
+    pipe2 = PluggablePipeline(preexisting_semantics=())
+    assert pipe2.configure_from_recipe(preset, reg).ok
+    img_ns = np.asarray(pipe2.execute(RenderContext(), dict(state0),
+                                      fp2)["ldr"])
+    diff = img_ns.astype(np.int32).sum(-1) - img_sh.astype(np.int32).sum(-1)
+    assert (diff > 8).sum() > 20, f"local shadows changed {(diff>8).sum()} px"
+
+    # Backend parity: brute anchor matches the tiled kernel bit-exactly on
+    # the full workload (Phase-I property).
+    fp.use_tiled_raster = False
+    pipe3 = PluggablePipeline(preexisting_semantics=())
+    assert pipe3.configure_from_recipe(preset, reg).ok
+    img_brute = np.asarray(pipe3.execute(RenderContext(), dict(state0),
+                                         fp)["ldr"])
+    np.testing.assert_array_equal(img_sh, img_brute)
