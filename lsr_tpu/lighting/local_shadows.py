@@ -80,7 +80,11 @@ _FACE_UPS = np.asarray(
     np.float32,
 )
 
-_TAP_STRIDE = 8  # anchor stride of the packed atlas windows
+# Anchor stride of the packed atlas windows.  6 (not 8) so the window is
+# (6+2r)^2 = 64 lanes at r=1 — at most one native gather lane-group per row
+# (wider windows pay a second gather pass per row; see
+# memory/tpu-gather-cost-model and scripts/dbg_taps.py).
+_TAP_STRIDE = 6
 
 
 @partial(
@@ -180,45 +184,87 @@ def _point_face_viewprojs(pos, rng):
     return vps
 
 
+def _stack_slot_setups(ts, slot_h: int):
+    """Merge vmapped per-slot TriSetups (leading slot dim) into ONE tall-
+    framebuffer setup: slot s occupies global rows [s*slot_h, (s+1)*slot_h).
+
+    Only BBOXES shift to global rows (they route triangles to the right
+    raster tiles); coefficients stay slot-local and the kernel evaluates
+    pixel rows band-locally (rasterize_direct band_h=slot_h), which keeps
+    the bc arithmetic bit-identical to a standalone per-slot raster.  Safe
+    without a scissor when slot_h is a multiple of the raster tile height:
+    a tile never spans two slots, and slot-clamped bboxes keep each
+    triangle's supers inside its own slot's tile rows."""
+    from lsr_tpu.raster.setup import TriSetup
+    from lsr_tpu.raster.tiled import _SUPER
+
+    s, n = ts.coef.shape[0], ts.coef.shape[1]
+    ioff = (jnp.arange(s, dtype=jnp.int32) * slot_h)[:, None]
+    bbox = ts.bbox.at[:, :, 1].add(ioff).at[:, :, 3].add(ioff)
+    # Pad each slot's range to a whole number of raster supers so no
+    # super/chunk mixes triangles of two slots (a mixed chunk would be
+    # walked by both slots' tiles and, with band-local row evaluation,
+    # bleed one slot's coverage into the other).
+    pad = (-n) % _SUPER
+
+    def flat(x, fill=0):
+        if pad:
+            widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+            x = jnp.pad(x, widths, constant_values=fill)
+        return x.reshape((s * (n + pad),) + x.shape[2:])
+
+    return TriSetup(coef=flat(ts.coef), iw=flat(ts.iw), ziw=flat(ts.ziw),
+                    bbox=flat(bbox), valid=flat(ts.valid, False),
+                    obj_id=flat(ts.obj_id), wp=flat(ts.wp), nw=flat(ts.nw),
+                    uv=flat(ts.uv))
+
+
 def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
                        use_tiled, pcf_radius):
-    """Depth-render every slot of one stack and pack its tap table."""
+    """Depth-render every slot of one stack and pack its tap table.
+
+    The geometry front-end for ALL slots runs as one multi-view setup
+    sweep (scene_setup_slots: world transform + attribute gather once,
+    flat-row clip — a vmapped per-slot setup lowers to slow batched-gather
+    HLO); the depth rasters then run per slot via lax.map (measured faster
+    than one stacked tall-framebuffer launch, scripts/dbg_local.py)."""
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.raster.brute import rasterize_brute
-    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.setup import (
+        CULL_NONE, DEPTH_NDC01, scene_setup_slots)
     from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import object_world_aabbs
 
     one = jnp.float32(1.0)
     wmin, wmax = object_world_aabbs(objects)
 
-    def render_slot(vp):
-        # Per-slot caster culling (the reference culls casters per light,
-        # record_shadow_passes :6912): casters outside the slot frustum
-        # produce no valid setup lanes, so the kernel skips them.
-        slot_mask = caster_mask & frustum_cull_objects(vp, wmin, wmax)
-        setup = scene_setup(
-            geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj,
-            objects.model, objects.normal_mat, vp,
-            size, size,
-            cull_mode=CULL_NONE,
-            obj_visible=slot_mask,
-        )
+    # Per-slot caster culling (the reference culls casters per light,
+    # record_shadow_passes :6912): casters outside a slot's frustum produce
+    # no valid setup lanes there, so its kernel skips them.
+    slot_masks = caster_mask[None] & jax.vmap(
+        lambda vp: frustum_cull_objects(vp, wmin, wmax))(vp_stack)
+    setups = scene_setup_slots(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        vp_stack, size, cull_mode=CULL_NONE,
+        obj_visible_slots=slot_masks,
+    )
+
+    def render_slot(setup):
         if use_tiled:
-            depth, _, _ = rasterize_direct(
+            d, _, _ = rasterize_direct(
                 setup, size, size, jnp.float32(0.0), one,
                 depth_mode=DEPTH_NDC01, track_ids=False,
                 tile_h=128, tile_w=128,
             )
         else:
-            depth, _ = rasterize_brute(
+            d, _ = rasterize_brute(
                 setup, size, size, jnp.float32(0.0), one,
                 depth_mode=DEPTH_NDC01,
             )
-        return depth
+        return d
 
-    depth = jax.lax.map(render_slot, vp_stack)      # (n, S, S)
+    depth = jax.lax.map(render_slot, setups)        # (n, S, S)
     taps = jax.vmap(
         lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
     return taps.reshape(depth.shape[0] * taps.shape[1], -1)
@@ -331,74 +377,125 @@ def _project_rows(vp_rows, wp):
     return row(0), row(4), row(8), row(12)
 
 
-def _vis_plane(sh: LocalShadowMaps, k: int, world_pos, normal):
-    """Visibility plane for shadowed light k (eval_local_shadow analog)."""
-    base = sh.base_slots[k]
-    pos = sh.caster_pos[k]
-    rel = world_pos - pos[None, None, :]
-    rel_len = jnp.linalg.norm(rel, axis=-1)
-    l_dir = -rel / jnp.maximum(rel_len, 1e-8)[..., None]
-    ndl = jnp.maximum(jnp.sum(normal * l_dir, -1), 0.0)
-    bias = sh.bias_const + sh.bias_slope * (1.0 - jnp.clip(ndl, 0.0, 1.0))
+def _pcf_from_rows(taps, rows, rx, ry, z_test, radius: int):
+    """Batched PCF: ONE wide gather for every plane in `rows`, then the
+    static lane mask selects each pixel's exact (2r+1)^2 window.
 
-    if sh.kinds[k] == SHADOW_POINT_CUBE:
-        # Face = major axis of rel (point_shadow_face_uv :302 semantics);
-        # the slot's own VP then produces UV/z — consistent with the
-        # raster by construction.
-        s = sh.point_size
-        taps = sh.point_taps
-        ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
-                      jnp.abs(rel[..., 2]))
-        face_x = jnp.where(rel[..., 0] >= 0, 0, 1)
-        face_y = jnp.where(rel[..., 1] >= 0, 2, 3)
-        face_z = jnp.where(rel[..., 2] >= 0, 4, 5)
-        face = jnp.where(
-            (ax >= ay) & (ax >= az), face_x,
-            jnp.where(ay >= az, face_y, face_z),
-        )
-        slot = base + face
-        vp_rows = take_rows(sh.point_viewproj, slot)          # (H, W, 16)
-        in_reach = (rel_len > 1e-4) & (rel_len < sh.caster_range[k])
-    else:
-        s = sh.spot_size
-        taps = sh.spot_taps
-        slot = jnp.full(world_pos.shape[:-1], base, jnp.int32)
-        vp_rows = jnp.broadcast_to(
-            sh.spot_viewproj[base], world_pos.shape[:-1] + (16,))
-        in_reach = jnp.ones(world_pos.shape[:-1], bool)
+    rows/rx/ry/z_test: (K, Hs, Ws); returns lit fraction (K, Hs, Ws).
+    TPU gather cost is per-ROW bound (~170M rows/s, memory cost model), so
+    all K planes of a stack share one gather dispatch and one table scan."""
+    win = _TAP_STRIDE + 2 * radius
+    window = take_rows(taps, rows)                  # (K, Hs, Ws, win^2)
+    lane = jnp.arange(win * win, dtype=jnp.int32)
+    li, lj = lane // win, lane % win
+    rxl = rx[..., None]
+    ryl = ry[..., None]
+    m = ((li >= ryl) & (li <= ryl + 2 * radius)
+         & (lj >= rxl) & (lj <= rxl + 2 * radius)).astype(jnp.float32)
+    lit = jnp.sum((z_test[..., None] <= window).astype(jnp.float32) * m, -1)
+    return lit / float((2 * radius + 1) ** 2)
 
-    px, py, pz, pw = _project_rows(vp_rows, world_pos)
-    w_ok = jnp.abs(pw) >= 1e-8
-    w_safe = jnp.where(w_ok, pw, 1.0)
-    u = (px / w_safe) * 0.5 + 0.5
-    v = (py / w_safe) * 0.5 + 0.5
-    z01 = (pz / w_safe) * 0.5 + 0.5
+
+def _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, size: int, slot_rows):
+    """Shared projection→anchor-row math.  slot_rows: (K,...) broadcastable
+    first-anchor-row index per plane (slot * n_anchor^2)."""
     in_map = (
         w_ok & in_reach & (pw > 0.0)
         & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
         & (z01 > 0.0) & (z01 < 1.0)
     )
-
-    cx = jnp.clip(jnp.round(u * (s - 1)), 0, s - 1).astype(jnp.int32)
-    cy = jnp.clip(jnp.round(v * (s - 1)), 0, s - 1).astype(jnp.int32)
-    r = sh.pcf_radius
+    cx = jnp.clip(jnp.round(u * (size - 1)), 0, size - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(v * (size - 1)), 0, size - 1).astype(jnp.int32)
     stride = _TAP_STRIDE
-    win = stride + 2 * r
-    n_anchor = -(-s // stride)
+    n_anchor = -(-size // stride)
     ax_i = cx // stride
     ay_i = cy // stride
-    rx = (cx - ax_i * stride)[..., None]
-    ry = (cy - ay_i * stride)[..., None]
-    rows = (slot * n_anchor + ay_i) * n_anchor + ax_i
-    window = take_rows(taps, rows)                      # (H, W, win^2)
-    lane = jnp.arange(win * win, dtype=jnp.int32)
-    li, lj = lane // win, lane % win
-    m = ((li >= ry) & (li <= ry + 2 * r)
-         & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
-    z_test = (z01 - bias)[..., None]
-    lit = jnp.sum((z_test <= window).astype(jnp.float32) * m, -1)
-    vis = lit / float((2 * r + 1) ** 2)
-    vis = 1.0 + (vis - 1.0) * jnp.clip(sh.strength[k], 0.0, 1.0)
+    rx = cx - ax_i * stride
+    ry = cy - ay_i * stride
+    rows = slot_rows + ay_i * n_anchor + ax_i
+    return rows, rx, ry, in_map
+
+
+def _bias_ndl(sh, pos, world_pos, normal):
+    """(K,H,W) slope-scaled bias + rel vectors for caster positions pos."""
+    rel = world_pos[None] - pos[:, None, None, :]          # (K, H, W, 3)
+    rel_len = jnp.linalg.norm(rel, axis=-1)
+    l_dir = -rel / jnp.maximum(rel_len, 1e-8)[..., None]
+    ndl = jnp.maximum(jnp.sum(normal[None] * l_dir, -1), 0.0)
+    bias = sh.bias_const + sh.bias_slope * (1.0 - jnp.clip(ndl, 0.0, 1.0))
+    return rel, rel_len, bias
+
+
+def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+    """All SPOT_2D planes batched: (len(ks), H, W)."""
+    base = np.asarray([sh.base_slots[k] for k in ks], np.int32)
+    pos = sh.caster_pos[np.asarray(ks)]                    # (K, 3)
+    vp = sh.spot_viewproj[base]                            # (K, 16)
+    rel, rel_len, bias = _bias_ndl(sh, pos, world_pos, normal)
+
+    vp_b = vp[:, None, None, :]                            # (K, 1, 1, 16)
+    px, py, pz, pw = _project_rows(vp_b, world_pos[None])
+    w_ok = jnp.abs(pw) >= 1e-8
+    w_safe = jnp.where(w_ok, pw, 1.0)
+    u = (px / w_safe) * 0.5 + 0.5
+    v = (py / w_safe) * 0.5 + 0.5
+    z01 = (pz / w_safe) * 0.5 + 0.5
+    s = sh.spot_size
+    n_anchor = -(-s // _TAP_STRIDE)
+    slot_rows = (base * n_anchor * n_anchor)[:, None, None]
+    in_reach = jnp.ones(pw.shape, bool)
+    rows, rx, ry, in_map = _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, s,
+                                        jnp.asarray(slot_rows))
+    lit = _pcf_from_rows(sh.spot_taps, rows, rx, ry, z01 - bias,
+                         sh.pcf_radius)
+    strength = jnp.clip(sh.strength[np.asarray(ks)], 0.0, 1.0)
+    vis = 1.0 + (lit - 1.0) * strength[:, None, None]
+    return jnp.where(in_map, vis, 1.0)
+
+
+def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+    """All POINT_CUBE planes batched: (len(ks), H, W).
+
+    Face = major axis of rel (point_shadow_face_uv :302 semantics); the
+    face slot's own VP is fetched with a one-hot (6-wide) contraction —
+    MXU work instead of a per-pixel row gather — so the sample stays
+    consistent with however the raster mapped NDC to texels."""
+    base = np.asarray([sh.base_slots[k] for k in ks], np.int32)
+    pos = sh.caster_pos[np.asarray(ks)]
+    rng = sh.caster_range[np.asarray(ks)]
+    rel, rel_len, bias = _bias_ndl(sh, pos, world_pos, normal)
+
+    ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
+                  jnp.abs(rel[..., 2]))
+    face_x = jnp.where(rel[..., 0] >= 0, 0, 1)
+    face_y = jnp.where(rel[..., 1] >= 0, 2, 3)
+    face_z = jnp.where(rel[..., 2] >= 0, 4, 5)
+    face = jnp.where(
+        (ax >= ay) & (ax >= az), face_x,
+        jnp.where(ay >= az, face_y, face_z),
+    )                                                      # (K, H, W)
+    slot = base[:, None, None] + face
+    # Per-pixel VP via one-hot contraction over the (tiny) VP table.
+    n_vp = sh.point_viewproj.shape[0]
+    onehot = (slot[..., None]
+              == jnp.arange(n_vp, dtype=jnp.int32)).astype(jnp.float32)
+    vp_rows = jnp.einsum("khwf,fc->khwc", onehot, sh.point_viewproj)
+
+    px, py, pz, pw = _project_rows(vp_rows, world_pos[None])
+    w_ok = jnp.abs(pw) >= 1e-8
+    w_safe = jnp.where(w_ok, pw, 1.0)
+    u = (px / w_safe) * 0.5 + 0.5
+    v = (py / w_safe) * 0.5 + 0.5
+    z01 = (pz / w_safe) * 0.5 + 0.5
+    s = sh.point_size
+    n_anchor = -(-s // _TAP_STRIDE)
+    in_reach = (rel_len > 1e-4) & (rel_len < rng[:, None, None])
+    rows, rx, ry, in_map = _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, s,
+                                        slot * (n_anchor * n_anchor))
+    lit = _pcf_from_rows(sh.point_taps, rows, rx, ry, z01 - bias,
+                         sh.pcf_radius)
+    strength = jnp.clip(sh.strength[np.asarray(ks)], 0.0, 1.0)
+    vis = 1.0 + (lit - 1.0) * strength[:, None, None]
     return jnp.where(in_map, vis, 1.0)
 
 
@@ -410,6 +507,10 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
     first), PCF-compare biased NDC01 depth, then mix(1, vis, strength).
     Channel K is constant 1.0 so unshadowed lights can index it.
 
+    All planes of a stack evaluate through ONE batched gather (TPU gather
+    cost is per-row bound; per-plane gathers cost K table scans and K
+    dispatches for the same row count).
+
     When sh.vis_scale > 1, planes are evaluated on a vis_scale-strided
     pixel grid and bilinearly upsampled (perf knob; PARITY.md).
     """
@@ -419,7 +520,20 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
         wp = world_pos[::sc, ::sc]
         nm = normal[::sc, ::sc]
 
-    planes = [_vis_plane(sh, k, wp, nm) for k in range(sh.n_shadowed)]
+    spot_ks = [k for k in range(sh.n_shadowed)
+               if sh.kinds[k] != SHADOW_POINT_CUBE]
+    point_ks = [k for k in range(sh.n_shadowed)
+                if sh.kinds[k] == SHADOW_POINT_CUBE]
+    parts = {}
+    if spot_ks:
+        sp = _spot_planes(sh, spot_ks, wp, nm)
+        for i, k in enumerate(spot_ks):
+            parts[k] = sp[i]
+    if point_ks:
+        pp = _point_planes(sh, point_ks, wp, nm)
+        for i, k in enumerate(point_ks):
+            parts[k] = pp[i]
+    planes = [parts[k] for k in range(sh.n_shadowed)]
     planes.append(jnp.ones(wp.shape[:-1], jnp.float32))
     stack = jnp.stack(planes, axis=-1)
     if sc > 1:

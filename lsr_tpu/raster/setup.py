@@ -202,6 +202,86 @@ def build_setup(
     )
 
 
+def scene_setup_slots(
+    positions,
+    normals,
+    uvs,
+    indices,
+    vtx_obj,
+    tri_obj,
+    models,
+    normal_mats,
+    viewprojs,
+    size: int,
+    cull_mode: int = CULL_NONE,
+    front_face_ccw: bool = True,
+    obj_visible_slots=None,
+) -> TriSetup:
+    """Multi-view geometry front-end: one setup per shadow-atlas slot.
+
+    viewprojs: (S, 4, 4); obj_visible_slots: optional (S, O) per-slot object
+    masks.  Returns a TriSetup whose fields carry a leading (S,) slot dim.
+
+    Equivalent to vmapping scene_setup over slots but restructured for TPU:
+    the world transform and per-corner attribute gather run ONCE (they are
+    view-independent), per-slot clip positions come from one flat offset row
+    gather (vmapped gathers lower to slow batched-gather HLO), and the
+    clip + edge-setup stages run on flattened (S*T) triangle rows."""
+    s = viewprojs.shape[0]
+    t = indices.shape[0]
+    v = positions.shape[0]
+    world, _, n_ws = vertex_stage(
+        positions, normals, uvs, vtx_obj, models, normal_mats,
+        jnp.eye(4, dtype=jnp.float32),
+    )
+    world_h = jnp.concatenate(
+        [world, jnp.ones((v, 1), jnp.float32)], axis=-1)
+    clip_slots = jnp.einsum("vc,src->svr", world_h, viewprojs)  # (S, V, 4)
+
+    # View-independent per-corner record, gathered once and tiled.
+    vrec = jnp.concatenate([world, n_ws, uvs], axis=-1)
+    crec = vrec[indices]                                   # (T, 3, 8)
+    attrs_flat = jnp.broadcast_to(crec[None], (s, t, 3, 8)) \
+        .reshape(s * t, 3, 8)
+    attrs = {
+        "wp": attrs_flat[..., 0:3],
+        "normal": attrs_flat[..., 3:6],
+        "uv": attrs_flat[..., 6:8],
+    }
+    # Per-slot clip corners: ONE flat row gather with slot offsets.
+    from lsr_tpu.core.gather import take_rows
+
+    rows = (jnp.arange(s, dtype=jnp.int32)[:, None, None] * v
+            + indices[None])                               # (S, T, 3)
+    tri_clip = take_rows(clip_slots.reshape(s * v, 4), rows) \
+        .reshape(s * t, 3, 4)
+
+    from lsr_tpu.raster.clip import clip_triangles_near
+
+    clip2, attrs2, valid2 = clip_triangles_near(attrs, tri_clip)
+    flat = lambda x: x.reshape((2 * s * t,) + x.shape[2:])  # noqa: E731
+    obj2 = jnp.broadcast_to(tri_obj[None, :, None],
+                            (s, t, 2)).reshape(-1)
+    valid = valid2.reshape(-1)
+    if obj_visible_slots is not None:
+        o = obj_visible_slots.shape[1]
+        slot_of = jnp.repeat(jnp.arange(s, dtype=jnp.int32), 2 * t)
+        valid = valid & obj_visible_slots.reshape(-1)[slot_of * o + obj2]
+    setup = build_setup(
+        flat(clip2), {k: flat(v2) for k, v2 in attrs2.items()},
+        valid, obj2, size, size, cull_mode, front_face_ccw,
+    )
+    import dataclasses as _dc
+
+    def unflat(x):
+        return x.reshape((s, 2 * t) + x.shape[1:])
+
+    return TriSetup(**{
+        f.name: unflat(getattr(setup, f.name))
+        for f in _dc.fields(TriSetup)
+    })
+
+
 def scene_setup(
     positions,
     normals,

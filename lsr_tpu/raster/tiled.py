@@ -294,17 +294,31 @@ def _direct_kernel(
     dma_sem,      # DMA semaphore
     *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
     track_ids: bool = True,
+    band_h: int = 0,
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
     x0 = (txi * tile_w).astype(jnp.float32)
     y0 = (tyi * tile_h).astype(jnp.float32) + z_ref[0, 2]
+    # Stacked-atlas mode (band_h > 0): slot setups are SLOT-LOCAL (their
+    # coefficients and the coverage bound assume rows [0, band_h)), only
+    # their bboxes were shifted to global rows for binning.  Evaluating
+    # pixel rows band-locally keeps bc arithmetic BIT-IDENTICAL to a
+    # standalone per-slot raster (shifting C by B*offset instead rounds
+    # differently and flips edge pixels).
+    if band_h:
+        y0_cov = (tyi * tile_h - (tyi * tile_h) // band_h * band_h
+                  ).astype(jnp.float32)
+        max_py = jnp.float32(band_h - 1)
+    else:
+        y0_cov = y0
+        max_py = z_ref[0, 3]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     px = x0 + col + 0.5
-    py = y0 + row + 0.5
-    ndc_ok = (px <= float(width - 1)) & (py <= z_ref[0, 3])
+    py = y0_cov + row + 0.5
+    ndc_ok = (px <= float(width - 1)) & (py <= max_py)
     pxb = px[None]
     pyb = py[None]
 
@@ -336,7 +350,7 @@ def _direct_kernel(
         row_s = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0)
         sub_px.append((x0 + col_s.astype(jnp.float32) + 0.5)[None])
         sub_py.append(
-            (y0 + (sub * sub_h) + row_s.astype(jnp.float32) + 0.5)[None]
+            (y0_cov + (sub * sub_h) + row_s.astype(jnp.float32) + 0.5)[None]
         )
 
     def process_sub(c_local, sub, d_s, t_s):
@@ -348,7 +362,7 @@ def _direct_kernel(
 
         pxs = sub_px[sub]
         pys = sub_py[sub]
-        ndc_s = (pxs <= float(width - 1)) & (pys <= z_ref[0, 3])
+        ndc_s = (pxs <= float(width - 1)) & (pys <= max_py)
         bc0 = f(0) * pxs + f(1) * pys + f(2)
         bc1 = f(3) * pxs + f(4) * pys + f(5)
         bc2 = f(6) * pxs + f(7) * pys + f(8)
@@ -434,7 +448,7 @@ def _direct_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "depth_mode", "tile_h", "tile_w", "chunk",
-        "scap", "interpret", "track_ids",
+        "scap", "interpret", "track_ids", "band_h",
     ),
 )
 def rasterize_direct(
@@ -458,6 +472,7 @@ def rasterize_direct(
     y_offset=0,
     full_height: int | None = None,
     track_ids: bool = True,
+    band_h: int = 0,
 ):
     """Listless tiled rasterization.
 
@@ -514,11 +529,13 @@ def rasterize_direct(
         .at[0, 3].set(jnp.float32(full_height - 1))
     )
 
+    if band_h:
+        assert band_h % tile_h == 0, "stacked bands must align to tiles"
     kern = functools.partial(
         _direct_kernel,
         width=width, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
         depth_mode=depth_mode, tiles_x=tiles_x, scap=scap,
-        track_ids=track_ids,
+        track_ids=track_ids, band_h=band_h,
     )
     tile_block = lambda: pl.BlockSpec(  # noqa: E731
         (tile_h, tile_w), lambda i, j, c, s: (i, j), memory_space=pltpu.VMEM
@@ -529,7 +546,7 @@ def rasterize_direct(
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, j, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # setup stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # setup stays in HBM
             pl.BlockSpec((n_pad // chunk, 4), lambda i, j, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
             tile_block(),
@@ -553,6 +570,288 @@ def rasterize_direct(
     )(counts, slists.reshape(-1), zparams, rec, chunk_bb, dpad, tpad)
 
     return depth[:height, :width], tid[:height, :width], max_sup
+
+
+# ---------------------------------------------------------------------------
+# Chunk-list kernel: per-tile chunk worklists + banded row processing
+# ---------------------------------------------------------------------------
+#
+# The direct kernel's per-tile cost is dominated by SCALAR control flow: for
+# every overlapping super it runs 16 chunk iterations x 4 sub-block lax.conds
+# (~64 branches per super visit) whether or not the chunks overlap the tile.
+# The chunk-list kernel moves that decision to binning time: per tile it
+# stores a worklist of (chunk id, row-band range) entries — only chunks that
+# really overlap — and the kernel walks the list with double-buffered 8KB
+# record DMAs, processing each chunk only over the `sub_h`-row bands its bbox
+# covers (dynamic-offset VMEM slices, no conds).  Entry encoding (see
+# _chunk_lists): id << 5 | band_start << 2 | (band_count - 1).
+
+_BAND_BITS = 5  # low bits reserved for (band_start, band_count - 1)
+
+
+def _chunk_lists(setup: TriSetup, n_pad: int, chunk: int, tiles_x: int,
+                 tiles_y: int, tile_w: int, tile_h: int, ccap: int,
+                 y_offset, sub_h: int):
+    """Per-tile overlapping-chunk worklists with packed row-band info.
+
+    Returns (lists (tiles, ccap) i32, counts (tiles,), max_count).  Entries
+    are ordered by ascending chunk id (the first-submitted depth-tie rule)."""
+    cbb = _chunk_bboxes(setup, n_pad, chunk)       # (n_chunks, 4) f32
+    n_chunks = cbb.shape[0]
+    x0 = cbb[:, 0]
+    y0 = cbb[:, 1] - y_offset
+    x1 = cbb[:, 2]
+    y1 = cbb[:, 3] - y_offset
+
+    tx = jnp.arange(tiles_x, dtype=jnp.float32) * tile_w
+    ty = jnp.arange(tiles_y, dtype=jnp.float32) * tile_h
+    ox = (x0[None, :] <= tx[:, None] + (tile_w - 1)) & (x1[None, :] >= tx[:, None])
+    oy = (y0[None, :] <= ty[:, None] + (tile_h - 1)) & (y1[None, :] >= ty[:, None])
+    mask = (oy[:, None, :] & ox[None, :, :]).reshape(tiles_y * tiles_x,
+                                                     n_chunks)
+
+    # Row-band range per (tile_row, chunk), in units of sub_h rows.
+    nb_max = tile_h // sub_h
+    rel0 = (y0[None, :] - ty[:, None]) / float(sub_h)      # (tiles_y, C)
+    rel1 = (y1[None, :] - ty[:, None]) / float(sub_h)
+    bs = jnp.clip(jnp.floor(rel0), 0, nb_max - 1).astype(jnp.int32)
+    be = jnp.clip(jnp.floor(rel1), 0, nb_max - 1).astype(jnp.int32)
+    cid = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    entry_row = (cid << _BAND_BITS) | (bs << 2) | (be - bs)  # (tiles_y, C)
+    entries = jnp.broadcast_to(entry_row[:, None, :],
+                               (tiles_y, tiles_x, n_chunks))
+    entries = entries.reshape(tiles_y * tiles_x, n_chunks)
+
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    keep = mask & (pos < ccap)
+    base = (jnp.arange(tiles_y * tiles_x, dtype=jnp.int32) * ccap)[:, None]
+    flat = jnp.where(keep, base + pos, tiles_y * tiles_x * ccap)
+    lists = jnp.zeros((tiles_y * tiles_x * ccap,), jnp.int32)
+    lists = lists.at[flat.reshape(-1)].set(entries.reshape(-1), mode="drop")
+    return lists.reshape(-1, ccap), jnp.minimum(counts, ccap), counts.max()
+
+
+def _chunklist_kernel(
+    counts_ref,   # (num_tiles,) i32 scalar-prefetch: entries per tile
+    clist_ref,    # (num_tiles * ccap,) i32 scalar-prefetch: packed entries
+    z_ref,        # (1, 128) f32: zn, inv_range, y_offset, max_py
+    rec_ref,      # (n_pad, 128) f32 HBM: packed setup records
+    depth_in, tid_in, depth_out, tid_out,
+    buf,          # (2, chunk, 128) f32 VMEM scratch (double buffer)
+    sem,          # DMA semaphore array (2,)
+    *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, ccap, sub_h,
+    track_ids: bool = True,
+):
+    tyi = pl.program_id(0)
+    txi = pl.program_id(1)
+    t_lin = tyi * tiles_x + txi
+    n = counts_ref[t_lin]
+
+    x0 = (txi * tile_w).astype(jnp.float32)
+    y0 = (tyi * tile_h).astype(jnp.float32) + z_ref[0, 2]
+    zn = z_ref[0, 0]
+    inv_range = z_ref[0, 1]
+
+    depth_out[:, :] = depth_in[:, :]
+    tid_out[:, :] = tid_in[:, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0)
+    px = (x0 + col.astype(jnp.float32) + 0.5)[None]        # (1, sub_h, W)
+    rowf = row.astype(jnp.float32)[None]
+    x_ok = (px <= float(width - 1))
+    kids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0).astype(
+        jnp.float32)
+    big = jnp.float32(1e9)
+
+    def get_dma(slot, e):
+        c = jax.lax.shift_right_logical(e, _BAND_BITS)
+        return pltpu.make_async_copy(
+            rec_ref.at[pl.ds(c * chunk, chunk), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _():
+        get_dma(0, clist_ref[t_lin * ccap]).start()
+
+    def entry_body(i, _):
+        e = clist_ref[t_lin * ccap + i]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _():
+            get_dma(1 - slot, clist_ref[t_lin * ccap + i + 1]).start()
+
+        get_dma(slot, e).wait()
+        blk = buf[slot]                                    # (chunk, 128)
+
+        def f(j):
+            return blk[:, j].reshape(chunk, 1, 1)
+
+        bs = jax.lax.shift_right_logical(e, 2) & 3
+        nb = (e & 3) + 1
+
+        def band_body(b, _):
+            off = pl.multiple_of((bs + b) * sub_h, sub_h)
+            pys = y0 + off.astype(jnp.float32) + rowf + 0.5
+            ndc_s = x_ok & (pys <= z_ref[0, 3])
+            bc0 = f(0) * px + f(1) * pys + f(2)
+            bc1 = f(3) * px + f(4) * pys + f(5)
+            bc2 = f(6) * px + f(7) * pys + f(8)
+            tidv = f(15)
+            inside = (
+                (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
+                & (tidv >= 0.0) & ndc_s
+            )
+            denom = bc0 * f(9) + bc1 * f(10) + bc2 * f(11)
+            inside &= denom > 1e-10
+            if depth_mode == DEPTH_VIEWZ:
+                view_z = 1.0 / jnp.maximum(denom, 1e-10)
+                z01 = jnp.clip((view_z - zn) * inv_range, 0.0, 1.0)
+            else:
+                zlin = (bc0 * f(12) + bc1 * f(13) + bc2 * f(14)) \
+                    / jnp.maximum(denom, 1e-10)
+                z01 = jnp.clip(zlin * 0.5 + 0.5, 0.0, 1.0)
+
+            cand = jnp.where(inside, z01, 2.0)
+            best = jnp.min(cand, axis=0)                   # (sub_h, W)
+            d_s = depth_out[pl.ds(off, sub_h), :]
+            if not track_ids:
+                depth_out[pl.ds(off, sub_h), :] = jnp.minimum(best, d_s)
+                return 0
+            isbest = cand == best[None]
+            win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
+            win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big),
+                              axis=0)
+            upd = best < d_s
+            t_s = tid_out[pl.ds(off, sub_h), :]
+            depth_out[pl.ds(off, sub_h), :] = jnp.where(upd, best, d_s)
+            tid_out[pl.ds(off, sub_h), :] = jnp.where(
+                upd, win_tid.astype(jnp.int32), t_s)
+            return 0
+
+        jax.lax.fori_loop(0, nb, band_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, entry_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "depth_mode", "tile_h", "tile_w", "chunk",
+        "ccap", "sub_h", "interpret", "track_ids",
+    ),
+)
+def rasterize_chunklist(
+    setup: TriSetup,
+    width: int,
+    height: int,
+    zn,
+    zf,
+    depth_init=None,
+    tid_init=None,
+    depth_mode: int = DEPTH_VIEWZ,
+    tile_h: int = 128,
+    tile_w: int = 128,
+    chunk: int = 16,
+    ccap: int = 192,
+    sub_h: int = 32,
+    interpret: bool | None = None,
+    y_offset=0,
+    full_height: int | None = None,
+    track_ids: bool = True,
+):
+    """Chunk-worklist tiled rasterization (see _chunklist_kernel).
+
+    Returns (depth01, tid, max_chunks_per_tile) — if max exceeds `ccap`,
+    worklists overflowed and ccap must be raised."""
+    if interpret is None:
+        interpret = default_interpret()
+    if full_height is None:
+        full_height = height
+    assert tile_h % sub_h == 0 and tile_h // sub_h <= 4, \
+        "band encoding uses 2 bits: tile_h/sub_h <= 4"
+    tiles_x = _cdiv(width, tile_w)
+    tiles_y = _cdiv(height, tile_h)
+    num_tiles = tiles_x * tiles_y
+    ph, pw = tiles_y * tile_h, tiles_x * tile_w
+
+    smem_int_budget = 700_000 // 4
+    ccap = max(8, min(ccap, (smem_int_budget - num_tiles) // num_tiles))
+
+    n = setup.coef.shape[0]
+    n_pad = _cdiv(n, _SUPER) * _SUPER
+
+    tid_f = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.float32), -1.0)
+    rec = jnp.concatenate(
+        [setup.coef, setup.iw, setup.ziw, tid_f[:, None]], axis=-1
+    )
+    rec = jnp.pad(rec, ((0, n_pad - n), (0, 112)))
+    rec = rec.at[n:, 15].set(-1.0) if n_pad > n else rec
+
+    clists, counts, max_cnt = _chunk_lists(
+        setup, n_pad, chunk, tiles_x, tiles_y, tile_w, tile_h, ccap,
+        jnp.asarray(y_offset, jnp.float32), sub_h,
+    )
+
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    if tid_init is None:
+        tid_init = jnp.full((height, width), -1, jnp.int32)
+    dpad = jnp.pad(depth_init, ((0, ph - height), (0, pw - width)),
+                   constant_values=1.0)
+    tpad = jnp.pad(tid_init, ((0, ph - height), (0, pw - width)),
+                   constant_values=-1)
+
+    zparams = jnp.zeros((1, 128), jnp.float32)
+    zparams = (
+        zparams.at[0, 0].set(zn)
+        .at[0, 1].set(1.0 / jnp.maximum(zf - zn, 1e-6))
+        .at[0, 2].set(jnp.asarray(y_offset, jnp.float32))
+        .at[0, 3].set(jnp.float32(full_height - 1))
+    )
+
+    kern = functools.partial(
+        _chunklist_kernel,
+        width=width, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+        depth_mode=depth_mode, tiles_x=tiles_x, ccap=ccap, sub_h=sub_h,
+        track_ids=track_ids,
+    )
+    tile_block = lambda: pl.BlockSpec(  # noqa: E731
+        (tile_h, tile_w), lambda i, j, c, s: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, j, c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # setup stays in HBM
+            tile_block(),
+            tile_block(),
+        ],
+        out_specs=(tile_block(), tile_block()),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tid = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(counts, clists.reshape(-1), zparams, rec, dpad, tpad)
+
+    return depth[:height, :width], tid[:height, :width], max_cnt
 
 
 # ---------------------------------------------------------------------------

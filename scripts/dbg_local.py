@@ -1,0 +1,267 @@
+"""In-process A/B of local-shadow pieces: pack stride, stacked raster,
+batched vs per-plane vis gathers.  Usage: python scripts/dbg_local.py [part]
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_fn(name, fn, *args, iters=10):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:44s} {ms:8.2f} ms", flush=True)
+    return out
+
+
+def part_pack():
+    from lsr_tpu.lighting.shadow_sample import pack_shadow_taps
+
+    d = jnp.asarray(np.random.default_rng(0).random((8, 1024, 1024), np.float32))
+    for stride in (4, 6, 8):
+        f = jax.jit(lambda dd, s=stride: jax.vmap(
+            lambda x: pack_shadow_taps(x, 1, s))(dd))
+        bench_fn(f"pack r1 stride={stride} 8x1024^2", f, d)
+    d2 = jnp.asarray(np.random.default_rng(0).random((2048, 2048), np.float32))
+    for stride in (4, 8):
+        f = jax.jit(lambda dd, s=stride: pack_shadow_taps(dd, 2, s))
+        bench_fn(f"pack r2 stride={stride} 2048^2", f, d2)
+
+
+def part_raster():
+    import bench as bench_mod
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.lighting.local_shadows import (
+        _render_slot_stack, _spot_viewproj, _stack_slot_setups,
+        plan_shadow_casters)
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import rasterize_chunklist, rasterize_direct
+    from lsr_tpu.scene.scene import object_world_aabbs
+
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    vps = jnp.stack([
+        _spot_viewproj(lights.position[s], lights.direction[s],
+                       lights.outer_angle[s], lights.range[s])
+        for s in spot_ids])
+    caster_mask = objects.casts_shadow & objects.visible
+    wmin, wmax = object_world_aabbs(objects)
+    size = 1024
+
+    def slot_setup(vp):
+        sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+        return scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vp, size, size, cull_mode=CULL_NONE, obj_visible=sm)
+
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    def map_raster(vps):
+        def rs(vp):
+            d, _, _ = rasterize_direct(
+                slot_setup(vp), size, size, zero, one,
+                depth_mode=DEPTH_NDC01, track_ids=False)
+            return d
+        return jax.lax.map(rs, vps)
+
+    def stack_raster(vps):
+        st = _stack_slot_setups(jax.vmap(slot_setup)(vps), size)
+        d, _, _ = rasterize_direct(
+            st, size, 8 * size, zero, one,
+            depth_mode=DEPTH_NDC01, track_ids=False, band_h=size)
+        return d
+
+    def stack_raster_tuned(vps):
+        st = _stack_slot_setups(jax.vmap(slot_setup)(vps), size)
+        d, _, _ = rasterize_direct(
+            st, size, 8 * size, zero, one,
+            depth_mode=DEPTH_NDC01, track_ids=False, band_h=size,
+            chunk=32)
+        return d
+
+    def stack_chunk(vps):
+        st = _stack_slot_setups(jax.vmap(slot_setup)(vps), size)
+        d, _, mc = rasterize_chunklist(
+            st, size, 8 * size, zero, one,
+            depth_mode=DEPTH_NDC01, track_ids=False)
+        return d, mc
+
+    def setup_only_map(vps):
+        return jax.lax.map(lambda vp: slot_setup(vp).coef.sum(), vps)
+
+    def setup_only_vmap(vps):
+        return jax.vmap(slot_setup)(vps).coef.sum()
+
+    bench_fn("setup 8x lax.map", jax.jit(setup_only_map), vps)
+    bench_fn("setup 8x vmap", jax.jit(setup_only_vmap), vps)
+    from lsr_tpu.raster.setup import scene_setup_slots
+
+    def multi_setup(vps):
+        sm = caster_mask[None] & jax.vmap(
+            lambda vp: frustum_cull_objects(vp, wmin, wmax))(vps)
+        return scene_setup_slots(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vps, size, cull_mode=CULL_NONE, obj_visible_slots=sm)
+
+    def multi_map_raster(vps, th, tw):
+        setups = multi_setup(vps)
+
+        def rs(st):
+            d, _, _ = rasterize_direct(
+                st, size, size, zero, one, depth_mode=DEPTH_NDC01,
+                track_ids=False, tile_h=th, tile_w=tw)
+            return d
+        return jax.lax.map(rs, setups)
+
+    bench_fn("setup 8x multi (scene_setup_slots)", jax.jit(
+        lambda v: multi_setup(v).coef.sum()), vps)
+    d_map = bench_fn("raster 8x1024 lax.map(direct)", jax.jit(map_raster), vps)
+    d_mm = bench_fn("raster 8x1024 multi+map 128", jax.jit(
+        lambda v: multi_map_raster(v, 128, 128)), vps)
+    d_mm256 = bench_fn("raster 8x1024 multi+map 256", jax.jit(
+        lambda v: multi_map_raster(v, 256, 256)), vps)
+    print("  multi == map:", bool(jnp.array_equal(d_map, d_mm)))
+    print("  multi256 == map:", bool(jnp.array_equal(d_map, d_mm256)))
+
+
+def part_vis():
+    import dataclasses
+
+    import bench as bench_mod
+    from lsr_tpu.lighting import local_shadows as ls
+    from lsr_tpu.lighting.local_shadows import (
+        local_shadow_vis_stack, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.models import _norm
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    spot_ids, point_ids = plan_shadow_casters(lights)
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid)
+    wp = jax.block_until_ready(gb.world_pos)
+    nm = jax.block_until_ready(_norm(gb.normal_ws))
+
+    sh = jax.jit(lambda: render_local_shadow_maps(
+        geom, objects, lights, spot_ids, point_ids,
+        map_size=1024, point_size=512, pcf_radius=1))()
+    sh = jax.block_until_ready(sh)
+
+    def batched(wp, nm, sc):
+        s2 = dataclasses.replace(sh, vis_scale=sc)
+        return local_shadow_vis_stack(s2, wp, nm)
+
+    # Per-plane variant (the round-2 formulation) for A/B.
+    def per_plane(wp, nm, sc):
+        if sc > 1:
+            wps, nms = wp[::sc, ::sc], nm[::sc, ::sc]
+        else:
+            wps, nms = wp, nm
+        planes = []
+        for k in range(sh.n_shadowed):
+            if sh.kinds[k] == ls.SHADOW_POINT_CUBE:
+                planes.append(ls._point_planes(sh, [k], wps, nms)[0])
+            else:
+                planes.append(ls._spot_planes(sh, [k], wps, nms)[0])
+        planes.append(jnp.ones(wps.shape[:-1], jnp.float32))
+        st = jnp.stack(planes, -1)
+        if sc > 1:
+            st = jax.image.resize(st, wp.shape[:-1] + (st.shape[-1],),
+                                  "bilinear")
+        return st
+
+    for sc in (1, 2):
+        o1 = bench_fn(f"vis batched sc={sc}", jax.jit(
+            lambda a, b, s=sc: batched(a, b, s)), wp, nm)
+        o2 = bench_fn(f"vis per-plane sc={sc}", jax.jit(
+            lambda a, b, s=sc: per_plane(a, b, s)), wp, nm)
+        print("  match:", bool(jnp.allclose(o1, o2, atol=1e-6)))
+
+    # Spot-only sub-variants: isolate gather row count vs batching.
+    spot_ks = [k for k in range(sh.n_shadowed)
+               if sh.kinds[k] != ls.SHADOW_POINT_CUBE]
+    bench_fn("spot planes batched(8) sc=1", jax.jit(
+        lambda a, b: ls._spot_planes(sh, spot_ks, a, b)), wp, nm)
+
+    def spot_groups(wp, nm, g):
+        outs = []
+        for i in range(0, len(spot_ks), g):
+            outs.append(ls._spot_planes(sh, spot_ks[i:i + g], wp, nm))
+        return jnp.concatenate(outs, 0)
+
+    for g in (1, 2, 4):
+        bench_fn(f"spot planes groups of {g} sc=1", jax.jit(
+            lambda a, b, gg=g: spot_groups(a, b, gg)), wp, nm)
+
+
+def part_setup():
+    """Break scene_setup into stages (vmapped 8x, the atlas workload)."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import (
+        _spot_viewproj, plan_shadow_casters)
+    from lsr_tpu.raster.setup import (
+        CULL_NONE, assemble_and_clip, build_setup, vertex_stage)
+
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    vps = jnp.stack([
+        _spot_viewproj(lights.position[s], lights.direction[s],
+                       lights.outer_angle[s], lights.range[s])
+        for s in spot_ids])
+    size = 1024
+
+    def vstage(vp):
+        return vertex_stage(geom.positions, geom.normals, geom.uvs,
+                            geom.vtx_obj, objects.model, objects.normal_mat,
+                            vp)
+
+    out = bench_fn("vertex_stage 8x", jax.jit(jax.vmap(vstage)), vps)
+    world, clip, nws = jax.block_until_ready(out)
+
+    def clipstage(w, c, n):
+        return assemble_and_clip(c, w, n, geom.uvs, geom.indices,
+                                 geom.tri_obj)
+
+    out2 = bench_fn("assemble_and_clip 8x", jax.jit(jax.vmap(clipstage)),
+                    world, clip, nws)
+    clip2, attrs2, valid2, obj2 = jax.block_until_ready(out2)
+
+    def bstage(c, a, v, o):
+        return build_setup(c, a, v, o, size, size, cull_mode=CULL_NONE)
+
+    bench_fn("build_setup 8x", jax.jit(jax.vmap(bstage)),
+             clip2, attrs2, valid2, obj2)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("setup",):
+        part_setup()
+    if which in ("pack", "all"):
+        part_pack()
+    if which in ("raster", "all"):
+        part_raster()
+    if which in ("vis", "all"):
+        part_vis()

@@ -113,3 +113,64 @@ def test_direct_band_offset():
                                    y_offset=band, full_height=h)
     np.testing.assert_array_equal(np.asarray(t_f)[band:], np.asarray(t_b))
     np.testing.assert_allclose(np.asarray(d_f)[band:], np.asarray(d_b), atol=1e-7)
+
+
+def test_chunklist_matches_brute_monkey():
+    from lsr_tpu.raster.tiled import rasterize_chunklist
+
+    mesh = load_obj(MONKEY)
+    w, h = 160, 96
+    setup = _setup_for(mesh, np.asarray(m3.rotate_y(0.5)), w, h)
+    d_b, t_b = rasterize_brute(setup, w, h, 0.1, 100.0)
+    d_t, t_t, max_cnt = rasterize_chunklist(
+        setup, w, h, jnp.float32(0.1), jnp.float32(100.0),
+        tile_h=32, tile_w=128, sub_h=16,
+    )
+    assert int(max_cnt) <= 192
+    mismatch = (np.asarray(t_b) != np.asarray(t_t)).sum()
+    assert mismatch == 0, f"{mismatch} tid mismatches"
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_t), atol=1e-6)
+
+
+def test_chunklist_depth_only_and_band_offset():
+    from lsr_tpu.raster.setup import DEPTH_NDC01
+    from lsr_tpu.raster.tiled import rasterize_chunklist, rasterize_direct
+
+    mesh = load_obj(MONKEY)
+    w, h = 128, 64
+    setup = _setup_for(mesh, np.eye(4, dtype=np.float32), w, h)
+    d_ref, _, _ = rasterize_direct(setup, w, h, jnp.float32(0.0),
+                                   jnp.float32(1.0), tile_h=16,
+                                   depth_mode=DEPTH_NDC01, track_ids=False)
+    d_c, _, _ = rasterize_chunklist(setup, w, h, jnp.float32(0.0),
+                                    jnp.float32(1.0), tile_h=32, sub_h=32,
+                                    depth_mode=DEPTH_NDC01, track_ids=False)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_c), atol=1e-7)
+
+    band = h // 2
+    d_b, t_b, _ = rasterize_chunklist(setup, w, band, jnp.float32(0.0),
+                                      jnp.float32(1.0), tile_h=32, sub_h=32,
+                                      depth_mode=DEPTH_NDC01,
+                                      y_offset=band, full_height=h)
+    np.testing.assert_allclose(np.asarray(d_c)[band:], np.asarray(d_b),
+                               atol=1e-7)
+
+
+def test_chunklist_depth_chaining():
+    from lsr_tpu.raster.tiled import rasterize_chunklist
+
+    cube = make_cube(1.5)
+    w, h = 128, 128
+    m_a = np.asarray(m3.translate([-0.4, 0.0, 0.2]))
+    m_b = np.asarray(m3.translate([0.4, 0.0, -0.2]) @ m3.rotate_y(0.6))
+    s_a = _setup_for(cube, m_a, w, h)
+    s_b = _setup_for(cube, m_b, w, h)
+
+    zn, zf = jnp.float32(0.1), jnp.float32(100.0)
+    d1, t1, _ = rasterize_chunklist(s_a, w, h, zn, zf)
+    d2, t2, _ = rasterize_chunklist(s_b, w, h, zn, zf,
+                                    depth_init=d1, tid_init=t1)
+    d_ref_a, _ = rasterize_brute(s_a, w, h, zn, zf)
+    d_ref, _ = rasterize_brute(s_b, w, h, zn, zf, depth_init=d_ref_a)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), atol=1e-6)
+    assert (np.asarray(t2) >= 0).sum() > 100
