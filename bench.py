@@ -95,46 +95,36 @@ def build_scene():
     return geom, objects, lights, ctx, eye
 
 
-def main():
+def make_flagship_frame(geom, objects, lights, ctx, width, height,
+                        shadow_size=2048, local_map=1024, local_point=512,
+                        with_local=True, with_cull=True, vis_scale=1,
+                        cap=2048):
+    """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
+    structure): per-frame cull -> sun + local shadow atlas -> raster ->
+    forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
     import dataclasses
 
-    import jax
     import jax.numpy as jnp
 
     from lsr_tpu.core.frame import ShadowPassParams
-    from lsr_tpu.passes.forward_plus import (
-        resolve_forward_plus, shade_forward_plus)
-    from lsr_tpu.passes.post import fxaa_pass
-    from lsr_tpu.passes.shadow import render_shadow_map
-    from lsr_tpu.passes.tonemap import tonemap_pass
-    from lsr_tpu.lighting.shadow_sample import make_shadow_context
-    from lsr_tpu.raster.interp import interpolate_gbuffer
-    from lsr_tpu.raster.setup import scene_setup
-    from lsr_tpu.raster.tiled import rasterize_direct
-    from lsr_tpu.scene.scene import make_camera
-
-    width = int(os.environ.get("LSR_BENCH_W", "1920"))
-    height = int(os.environ.get("LSR_BENCH_H", "1080"))
-    frames = int(os.environ.get("LSR_BENCH_FRAMES", "60"))
-    warmup = int(os.environ.get("LSR_BENCH_WARMUP", "10"))
-    cap = int(os.environ.get("LSR_BENCH_CAP", "2048"))
-    shadow_size = int(os.environ.get("LSR_BENCH_SHADOW", "2048"))
-    local_map = int(os.environ.get("LSR_BENCH_LOCAL_MAP", "1024"))
-    local_point = int(os.environ.get("LSR_BENCH_LOCAL_POINT", "512"))
-    with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
-    with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
-    vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
-    sun_dir = np.asarray([0.35, -0.75, 0.45], np.float32)
-    shadow_params = ShadowPassParams(map_size=shadow_size, pcf_radius=2)
-
     from lsr_tpu.geometry.occlusion import (
         occlusion_cull_aabbs, render_occluder_depth)
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.lighting.local_shadows import (
         plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.lighting.shadow_sample import make_shadow_context
+    from lsr_tpu.passes.forward_plus import (
+        resolve_forward_plus, shade_forward_plus)
+    from lsr_tpu.passes.post import fxaa_pass
+    from lsr_tpu.passes.shadow import render_shadow_map
+    from lsr_tpu.passes.tonemap import tonemap_pass
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import object_world_aabbs
 
-    geom, objects, lights, ctx, eye0 = build_scene()
+    sun_dir = np.asarray([0.35, -0.75, 0.45], np.float32)
+    shadow_params = ShadowPassParams(map_size=shadow_size, pcf_radius=2)
     spot_ids, point_ids = plan_shadow_casters(lights) if with_local \
         else ((), ())
 
@@ -209,6 +199,36 @@ def main():
         n_valid = jnp.sum(setup.valid)
         return (ldr, n_valid, max_bin, stats["max_lights_per_bin"],
                 stats["overflow_bins"])
+
+    return frame, spot_ids, point_ids
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsr_tpu.scene.scene import make_camera
+
+    width = int(os.environ.get("LSR_BENCH_W", "1920"))
+    height = int(os.environ.get("LSR_BENCH_H", "1080"))
+    frames = int(os.environ.get("LSR_BENCH_FRAMES", "60"))
+    warmup = int(os.environ.get("LSR_BENCH_WARMUP", "10"))
+    cap = int(os.environ.get("LSR_BENCH_CAP", "2048"))
+    shadow_size = int(os.environ.get("LSR_BENCH_SHADOW", "2048"))
+    local_map = int(os.environ.get("LSR_BENCH_LOCAL_MAP", "1024"))
+    local_point = int(os.environ.get("LSR_BENCH_LOCAL_POINT", "512"))
+    with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
+    with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
+    vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
+
+    geom, objects, lights, ctx, eye0 = build_scene()
+    frame, spot_ids, point_ids = make_flagship_frame(
+        geom, objects, lights, ctx, width, height,
+        shadow_size=shadow_size, local_map=local_map,
+        local_point=local_point, with_local=with_local,
+        with_cull=with_cull, vis_scale=vis_scale, cap=cap)
 
     frame_j = jax.jit(frame)
 

@@ -137,15 +137,16 @@ def run_flagship_dryrun(n_devices: int) -> None:
     lights = lb.build()
     sun = jnp.asarray([0.35, -0.7, 0.5], jnp.float32)
 
-    def run_on(mesh):
-        dp = mesh.shape["dp"]
-        step = make_sharded_flagship(
-            mesh, geom, objects, ctx, lights, width, height,
-            shadow_size=shadow_size)
-        cams = [make_camera(width, height,
+    def cams_for(dp):
+        return [make_camera(width, height,
                             (np.sin(a) * -3.5, 1.8, np.cos(a) * -3.5),
                             (0, 0, 0))
                 for a in np.linspace(0.0, 0.5, dp)]
+
+    def run_on(mesh, cams):
+        step = make_sharded_flagship(
+            mesh, geom, objects, ctx, lights, width, height,
+            shadow_size=shadow_size)
         vps = jnp.stack([c.viewproj for c in cams])
         views = jnp.stack([c.view for c in cams])
         out = jax.block_until_ready(step(
@@ -157,24 +158,45 @@ def run_flagship_dryrun(n_devices: int) -> None:
         ms = (time.perf_counter() - t0) / 3 * 1000
         return np.asarray(out), ms
 
-    ref, _ = run_on(make_mesh(1))
+    run_id = time.strftime("%Y%m%dT%H%M%S")
+    mesh1 = make_mesh(1)
+    # 1-device reference frame per CAMERA (not just camera 0): every dp
+    # slice of every mesh shape must match its own unsharded render.
+    ref_cache = {}
+
+    def ref_for(cam):
+        key = float(np.asarray(cam.viewproj).sum())
+        if key not in ref_cache:
+            out, ms = run_on(mesh1, [cam])
+            ref_cache[key] = (out[0], ms)
+        return ref_cache[key]
+
     rows = []
+    _, ms1 = ref_for(cams_for(1)[0])
+    rows.append({"phase": "multichip", "run_id": run_id, "dp": 1, "sp": 1,
+                 "w": width, "h": height, "shadow": shadow_size,
+                 "step_ms": round(ms1, 2),
+                 "platform": jax.devices()[0].platform})
     shapes = [(1, n_devices)]
     if n_devices % 2 == 0 and n_devices >= 4:
         shapes.append((2, n_devices // 2))
     for dp, sp in shapes:
         mesh = make_mesh(dp * sp, dp=dp)
-        out, ms = run_on(mesh)
+        cams = cams_for(dp)
+        out, ms = run_on(mesh, cams)
         assert out.shape == (dp, height, width, 3), out.shape
-        assert (out[0] == ref[0]).all(), (
-            f"flagship dp={dp} sp={sp} differs from the 1-device frame")
-        rows.append({"phase": "multichip", "dp": dp, "sp": sp,
-                     "w": width, "h": height, "shadow": shadow_size,
-                     "step_ms": round(ms, 2),
+        for b, cam in enumerate(cams):
+            ref_b, _ = ref_for(cam)
+            assert (out[b] == ref_b).all(), (
+                f"flagship dp={dp} sp={sp} slice {b} differs from its "
+                f"1-device frame")
+        rows.append({"phase": "multichip", "run_id": run_id, "dp": dp,
+                     "sp": sp, "w": width, "h": height,
+                     "shadow": shadow_size, "step_ms": round(ms, 2),
                      "platform": jax.devices()[0].platform})
         print(f"flagship dryrun ok: dp={dp} sp={sp} "
-              f"(shadow all_gather + fxaa ppermute halos, bit-exact), "
-              f"{ms:.1f} ms/step")
+              f"(shadow all_gather + fxaa ppermute halos, all {dp} dp "
+              f"slices bit-exact), {ms:.1f} ms/step")
     try:
         path = "artifacts/multichip_scaling.jsonl"
         import os as _os

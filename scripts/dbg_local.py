@@ -13,15 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_fn(name, fn, *args, iters=10):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:44s} {ms:8.2f} ms", flush=True)
-    return out
+from tpu_timing import bench_fn  # noqa: E402  (slope-method timing)
 
 
 def part_pack():
