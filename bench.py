@@ -98,7 +98,7 @@ def build_scene():
 def make_flagship_frame(geom, objects, lights, ctx, width, height,
                         shadow_size=2048, local_map=1024, local_point=512,
                         with_local=True, with_cull=True, vis_scale=1,
-                        cap=2048):
+                        vis_crop=(), cap=2048):
     """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
     structure): per-frame cull -> sun + local shadow atlas -> raster ->
     forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
@@ -151,7 +151,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             local_sh = render_local_shadow_maps(
                 geom, objects, lights, spot_ids, point_ids,
                 map_size=local_map, point_size=local_point,
-                pcf_radius=1, vis_scale=vis_scale)
+                pcf_radius=1, vis_scale=vis_scale,
+                vis_crop=tuple(vis_crop))
 
         sm_depth, light_vp = render_shadow_map(
             geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
@@ -222,13 +223,18 @@ def main():
     with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
     with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
     vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
+    # "chxcw" e.g. "512x1024"; "" = full-screen plane evaluation.
+    crop_env = os.environ.get("LSR_BENCH_VIS_CROP", "512x1024")
+    vis_crop = (tuple(int(t) for t in crop_env.split("x"))
+                if crop_env else ())
 
     geom, objects, lights, ctx, eye0 = build_scene()
     frame, spot_ids, point_ids = make_flagship_frame(
         geom, objects, lights, ctx, width, height,
         shadow_size=shadow_size, local_map=local_map,
         local_point=local_point, with_local=with_local,
-        with_cull=with_cull, vis_scale=vis_scale, cap=cap)
+        with_cull=with_cull, vis_scale=vis_scale, vis_crop=vis_crop,
+        cap=cap)
 
     frame_j = jax.jit(frame)
 
@@ -260,16 +266,22 @@ def main():
         file=sys.stderr,
     )
 
+    # jax.block_until_ready does NOT actually wait on the axon tunnel
+    # backend; a host READBACK of a scalar probe is the only reliable
+    # queue drain (scripts/tpu_timing.py).  The probe's ~0.2 s constant
+    # drain latency amortizes over the `frames` frames.
+    probe = jax.jit(lambda a: jnp.sum(a.ravel()[:128].astype(jnp.float32)))
+
     for i in range(warmup):
         cam_i, ctx_i = staged[i]
         out = frame_j(cam_i, ctx_i)
-    jax.block_until_ready(out)
+    float(np.asarray(probe(out[0])))
 
     t0 = time.perf_counter()
     for i in range(frames):
         cam_i, ctx_i = staged[warmup + i]
         out = frame_j(cam_i, ctx_i)
-    jax.block_until_ready(out)
+    float(np.asarray(probe(out[0])))
     dt = time.perf_counter() - t0
 
     fps = frames / dt

@@ -116,6 +116,11 @@ class LocalShadowParams:
                                # visibility planes (1 = per-pixel exact;
                                # 2 = half-res + bilinear upsample, a
                                # TPU perf knob documented in PARITY.md)
+    vis_crop: tuple = ()       # (ch, cw) static crop window for plane
+                               # evaluation — exact to 1 ULP (planes are
+                               # 1.0 outside the light's footprint; falls
+                               # back to full-screen when the footprint
+                               # exceeds the window)
 
 
 @dataclasses.dataclass

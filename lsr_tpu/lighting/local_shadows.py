@@ -93,7 +93,7 @@ _TAP_STRIDE = 6
                  "caster_pos", "caster_range", "light_shadow_index",
                  "strength", "bias_const", "bias_slope"],
     meta_fields=["spot_size", "point_size", "pcf_radius", "kinds",
-                 "base_slots", "vis_scale"],
+                 "base_slots", "vis_scale", "vis_crop"],
 )
 @dataclasses.dataclass(frozen=True)
 class LocalShadowMaps:
@@ -120,6 +120,8 @@ class LocalShadowMaps:
     kinds: tuple = ()              # per shadowed light: SHADOW_SPOT_2D | CUBE
     base_slots: tuple = ()         # per shadowed light: base in its stack
     vis_scale: int = 1
+    vis_crop: tuple = ()           # (ch, cw) static crop for plane eval; ()
+                                   # = full-screen (exact either way)
 
     @property
     def n_shadowed(self) -> int:
@@ -273,7 +275,8 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
 @partial(
     jax.jit,
     static_argnames=("spot_ids", "point_ids", "map_size", "point_size",
-                     "pcf_radius", "cap", "use_tiled", "vis_scale"),
+                     "pcf_radius", "cap", "use_tiled", "vis_scale",
+                     "vis_crop"),
 )
 def render_local_shadow_maps(
     geom,
@@ -289,6 +292,7 @@ def render_local_shadow_maps(
     cap: int = 2048,
     use_tiled: bool = True,
     vis_scale: int = 1,
+    vis_crop: tuple = (),
 ) -> LocalShadowMaps:
     """Render every budgeted local shadow slot and pack the sampling tables.
 
@@ -363,6 +367,7 @@ def render_local_shadow_maps(
         kinds=tuple(kinds),
         base_slots=tuple(base_slots),
         vis_scale=vis_scale,
+        vis_crop=tuple(vis_crop),
     )
 
 
@@ -378,12 +383,15 @@ def _project_rows(vp_rows, wp):
 
 
 def _pcf_from_rows(taps, rows, rx, ry, z_test, radius: int):
-    """Batched PCF: ONE wide gather for every plane in `rows`, then the
-    static lane mask selects each pixel's exact (2r+1)^2 window.
+    """PCF window fetch + static lane mask selecting each pixel's exact
+    (2r+1)^2 window.
 
     rows/rx/ry/z_test: (K, Hs, Ws); returns lit fraction (K, Hs, Ws).
-    TPU gather cost is per-ROW bound (~170M rows/s, memory cost model), so
-    all K planes of a stack share one gather dispatch and one table scan."""
+    TPU gather ROW RATE degrades with table size (~230M rows/s from a
+    7.5MB per-slot table vs 60M rows/s from the shared 60MB atlas table,
+    scripts/dbg_vis2.py: 264 -> 70 ms for 8 spot planes at 1080p) — so
+    callers pass PER-SLOT table slices with slot-local rows, not the
+    shared atlas table."""
     win = _TAP_STRIDE + 2 * radius
     window = take_rows(taps, rows)                  # (K, Hs, Ws, win^2)
     lane = jnp.arange(win * win, dtype=jnp.int32)
@@ -426,15 +434,75 @@ def _bias_ndl(sh, pos, world_pos, normal):
     return rel, rel_len, bias
 
 
-def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
-    """All SPOT_2D planes batched: (len(ks), H, W)."""
-    base = np.asarray([sh.base_slots[k] for k in ks], np.int32)
-    pos = sh.caster_pos[np.asarray(ks)]                    # (K, 3)
-    vp = sh.spot_viewproj[base]                            # (K, 16)
+def _crop_origin(mask, ch: int, cw: int):
+    """Origin of a (ch, cw) crop covering every True pixel of mask, and
+    whether such a crop exists.  An empty mask "fits" anywhere (the crop
+    evaluates to all-ones, which is the correct plane)."""
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    y0 = jnp.argmax(rows).astype(jnp.int32)
+    y1 = (h - 1) - jnp.argmax(rows[::-1]).astype(jnp.int32)
+    x0 = jnp.argmax(cols).astype(jnp.int32)
+    x1 = (w - 1) - jnp.argmax(cols[::-1]).astype(jnp.int32)
+    fits = ((y1 - y0 + 1 <= ch) & (x1 - x0 + 1 <= cw)) | ~jnp.any(rows)
+    y0c = jnp.clip(y0, 0, max(h - ch, 0))
+    x0c = jnp.clip(x0, 0, max(w - cw, 0))
+    return y0c, x0c, fits
+
+
+def _cropped_plane(eval_fn, mask, world_pos, normal, ch: int, cw: int):
+    """Evaluate a shadow plane on a dynamically-positioned (ch, cw) crop
+    when the light's pixel footprint fits one (lax.cond falls back to the
+    full grid when it doesn't).
+
+    Exact to 1 ULP: mask is the light's in-influence pixel set (or a
+    conservative superset); outside it the plane is 1.0 by definition, and
+    in-crop pixels run the identical math as the full path (XLA may
+    reassociate fused reductions inside the cond branches, hence ULP not
+    bit).  Spots cover 2-12%% of screen in the flagship scene, and gather
+    cost is per-row — cropping is the difference between 2M and 0.5M
+    rows/plane."""
+    h, w = mask.shape
+    ch, cw = min(ch, h), min(cw, w)
+    if ch >= h and cw >= w:
+        return eval_fn(world_pos, normal)
+    y0c, x0c, fits = _crop_origin(mask, ch, cw)
+
+    def crop_branch(_):
+        wpc = jax.lax.dynamic_slice(world_pos, (y0c, x0c, 0), (ch, cw, 3))
+        nmc = jax.lax.dynamic_slice(normal, (y0c, x0c, 0), (ch, cw, 3))
+        return jax.lax.dynamic_update_slice(
+            jnp.ones((h, w), jnp.float32), eval_fn(wpc, nmc), (y0c, x0c))
+
+    return jax.lax.cond(fits, crop_branch,
+                        lambda _: eval_fn(world_pos, normal), 0)
+
+
+def _spot_in_map(sh: LocalShadowMaps, k: int, world_pos):
+    """The exact in_map mask of spot plane k (no gathers): pixels whose
+    projection lands inside the light frustum."""
+    base = int(sh.base_slots[k])
+    vp = sh.spot_viewproj[base]
+    px, py, pz, pw = _project_rows(vp[None, None, :], world_pos)
+    w_ok = jnp.abs(pw) >= 1e-8
+    w_safe = jnp.where(w_ok, pw, 1.0)
+    u = (px / w_safe) * 0.5 + 0.5
+    v = (py / w_safe) * 0.5 + 0.5
+    z01 = (pz / w_safe) * 0.5 + 0.5
+    return (w_ok & (pw > 0.0)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            & (z01 > 0.0) & (z01 < 1.0))
+
+
+def _spot_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
+    """One SPOT_2D visibility plane on an arbitrary (H', W') pixel grid."""
+    base = int(sh.base_slots[k])
+    pos = sh.caster_pos[k][None]                           # (1, 3)
+    vp = sh.spot_viewproj[base]
     rel, rel_len, bias = _bias_ndl(sh, pos, world_pos, normal)
 
-    vp_b = vp[:, None, None, :]                            # (K, 1, 1, 16)
-    px, py, pz, pw = _project_rows(vp_b, world_pos[None])
+    px, py, pz, pw = _project_rows(vp[None, None, :], world_pos)
     w_ok = jnp.abs(pw) >= 1e-8
     w_safe = jnp.where(w_ok, pw, 1.0)
     u = (px / w_safe) * 0.5 + 0.5
@@ -442,28 +510,59 @@ def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     z01 = (pz / w_safe) * 0.5 + 0.5
     s = sh.spot_size
     n_anchor = -(-s // _TAP_STRIDE)
-    slot_rows = (base * n_anchor * n_anchor)[:, None, None]
+    na2 = n_anchor * n_anchor
     in_reach = jnp.ones(pw.shape, bool)
-    rows, rx, ry, in_map = _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, s,
-                                        jnp.asarray(slot_rows))
-    lit = _pcf_from_rows(sh.spot_taps, rows, rx, ry, z01 - bias,
-                         sh.pcf_radius)
-    strength = jnp.clip(sh.strength[np.asarray(ks)], 0.0, 1.0)
-    vis = 1.0 + (lit - 1.0) * strength[:, None, None]
+    # SLOT-LOCAL rows + a per-slot table slice: the gather row rate is
+    # table-size-bound (see _pcf_from_rows), and clamping out-of-cone
+    # pixels to local row 0 keeps the working set inside the slot.
+    rows, rx, ry, in_map = _uvz_to_rows(
+        u, v, z01, pw, w_ok, in_reach, s, jnp.int32(0))
+    rows = jnp.where(in_map, rows, 0)
+    tab = jax.lax.dynamic_slice_in_dim(sh.spot_taps, base * na2, na2, 0)
+    lit = _pcf_from_rows(tab, rows, rx, ry, z01 - bias[0], sh.pcf_radius)
+    strength = jnp.clip(sh.strength[k], 0.0, 1.0)
+    vis = 1.0 + (lit - 1.0) * strength
     return jnp.where(in_map, vis, 1.0)
 
 
-def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
-    """All POINT_CUBE planes batched: (len(ks), H, W).
+def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+    """All SPOT_2D planes: (len(ks), H, W).
+
+    With sh.vis_crop set, each plane evaluates on a static-size crop around
+    the light's exact screen footprint (gather rows are the cost; spots
+    cover a small screen fraction) — bit-identical to the full-grid path."""
+    planes = []
+    for k in ks:
+        fn = lambda wp, nm, k=k: _spot_plane_one(sh, k, wp, nm)
+        if sh.vis_crop:
+            mask = _spot_in_map(sh, k, world_pos)
+            planes.append(_cropped_plane(fn, mask, world_pos, normal,
+                                         *sh.vis_crop))
+        else:
+            planes.append(fn(world_pos, normal))
+    return jnp.stack(planes)
+
+
+def _point_in_reach(sh: LocalShadowMaps, k: int, world_pos):
+    """Conservative influence mask of point light k: inside its range
+    sphere (no gathers)."""
+    rel = world_pos - sh.caster_pos[k]
+    rel_len = jnp.linalg.norm(rel, axis=-1)
+    return (rel_len > 1e-4) & (rel_len < sh.caster_range[k])
+
+
+def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
+    """One POINT_CUBE visibility plane on an arbitrary (H', W') grid.
 
     Face = major axis of rel (point_shadow_face_uv :302 semantics); the
     face slot's own VP is fetched with a one-hot (6-wide) contraction —
     MXU work instead of a per-pixel row gather — so the sample stays
     consistent with however the raster mapped NDC to texels."""
-    base = np.asarray([sh.base_slots[k] for k in ks], np.int32)
-    pos = sh.caster_pos[np.asarray(ks)]
-    rng = sh.caster_range[np.asarray(ks)]
+    base = int(sh.base_slots[k])
+    pos = sh.caster_pos[k][None]
+    rng = sh.caster_range[k]
     rel, rel_len, bias = _bias_ndl(sh, pos, world_pos, normal)
+    rel, rel_len, bias = rel[0], rel_len[0], bias[0]       # (H, W, ...)
 
     ax, ay, az = (jnp.abs(rel[..., 0]), jnp.abs(rel[..., 1]),
                   jnp.abs(rel[..., 2]))
@@ -473,15 +572,14 @@ def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     face = jnp.where(
         (ax >= ay) & (ax >= az), face_x,
         jnp.where(ay >= az, face_y, face_z),
-    )                                                      # (K, H, W)
-    slot = base[:, None, None] + face
-    # Per-pixel VP via one-hot contraction over the (tiny) VP table.
-    n_vp = sh.point_viewproj.shape[0]
-    onehot = (slot[..., None]
-              == jnp.arange(n_vp, dtype=jnp.int32)).astype(jnp.float32)
-    vp_rows = jnp.einsum("khwf,fc->khwc", onehot, sh.point_viewproj)
+    )                                                      # (H, W)
+    # Per-pixel VP via one-hot contraction over this light's 6 face VPs.
+    vps = jax.lax.dynamic_slice_in_dim(sh.point_viewproj, base, 6, 0)
+    onehot = (face[..., None]
+              == jnp.arange(6, dtype=jnp.int32)).astype(jnp.float32)
+    vp_rows = jnp.einsum("hwf,fc->hwc", onehot, vps)
 
-    px, py, pz, pw = _project_rows(vp_rows, world_pos[None])
+    px, py, pz, pw = _project_rows(vp_rows, world_pos)
     w_ok = jnp.abs(pw) >= 1e-8
     w_safe = jnp.where(w_ok, pw, 1.0)
     u = (px / w_safe) * 0.5 + 0.5
@@ -489,14 +587,33 @@ def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     z01 = (pz / w_safe) * 0.5 + 0.5
     s = sh.point_size
     n_anchor = -(-s // _TAP_STRIDE)
-    in_reach = (rel_len > 1e-4) & (rel_len < rng[:, None, None])
+    na2 = n_anchor * n_anchor
+    in_reach = (rel_len > 1e-4) & (rel_len < rng)
+    # LIGHT-LOCAL rows (face picks the sub-slot) + this light's 6-face
+    # table slice: keeps the gather's working set small (_pcf_from_rows).
     rows, rx, ry, in_map = _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, s,
-                                        slot * (n_anchor * n_anchor))
-    lit = _pcf_from_rows(sh.point_taps, rows, rx, ry, z01 - bias,
-                         sh.pcf_radius)
-    strength = jnp.clip(sh.strength[np.asarray(ks)], 0.0, 1.0)
-    vis = 1.0 + (lit - 1.0) * strength[:, None, None]
+                                        face * na2)
+    rows = jnp.where(in_map, rows, 0)
+    tab = jax.lax.dynamic_slice_in_dim(sh.point_taps, base * na2, 6 * na2, 0)
+    lit = _pcf_from_rows(tab, rows, rx, ry, z01 - bias, sh.pcf_radius)
+    strength = jnp.clip(sh.strength[k], 0.0, 1.0)
+    vis = 1.0 + (lit - 1.0) * strength
     return jnp.where(in_map, vis, 1.0)
+
+
+def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+    """All POINT_CUBE planes: (len(ks), H, W); vis_crop as in
+    _spot_planes (the range sphere bounds the footprint)."""
+    planes = []
+    for k in ks:
+        fn = lambda wp, nm, k=k: _point_plane_one(sh, k, wp, nm)
+        if sh.vis_crop:
+            mask = _point_in_reach(sh, k, world_pos)
+            planes.append(_cropped_plane(fn, mask, world_pos, normal,
+                                         *sh.vis_crop))
+        else:
+            planes.append(fn(world_pos, normal))
+    return jnp.stack(planes)
 
 
 def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):

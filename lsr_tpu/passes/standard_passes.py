@@ -239,6 +239,7 @@ class LocalShadowsPass(RenderPass):
             map_size=p.map_size, point_size=p.point_size,
             pcf_radius=p.pcf_radius, bias_const=p.bias_const,
             bias_slope=p.bias_slope, vis_scale=p.vis_scale,
+            vis_crop=tuple(p.vis_crop),
         )
         return out
 

@@ -137,6 +137,51 @@ class PluggablePipeline:
         self._capture_persistent(out)
         return out
 
+    def execute_segmented(self, ctx: RenderContext, frame_state: dict, fp,
+                          iters=(2, 8)) -> dict:
+        """Per-pass DEVICE timing at jit speed (profiling mode).
+
+        Each pass compiles to its OWN jitted program (cached across frames)
+        and is timed with the host-readback slope method
+        (utils/devtime.slope_ms) — the analog of the reference's per-pass
+        GPU timestamp pool (hello_rendering_paths.cpp:111, :274-283).
+        Cross-pass XLA fusion is absent by construction, so the SUM of the
+        recorded pass times upper-bounds the fused execute_jitted frame;
+        use it for stage attribution, not headline fps.  Results land in
+        ctx.debug.pass_ms; outputs are identical to execute_jitted up to
+        fusion-order float reassociation.
+        """
+        import jax
+
+        from lsr_tpu.utils.devtime import slope_ms
+
+        plan = self.build_plan(fp)
+        if not plan.ok:
+            raise RuntimeError(
+                f"refusing to execute invalid plan: {plan.errors}")
+        key = (tuple(plan.order), id(fp))
+        if getattr(self, "_seg_key", None) != key:
+            self._seg_jits = {}
+            self._seg_key = key
+        state = dict(frame_state)
+        state.update(self._persistent_state)
+        for idx in plan.order:
+            p = self._passes[idx]
+            req = p.build_execution_request(ctx, state, fp)
+            if not req.valid:
+                ctx.debug.skipped_passes.append(f"{p.pass_id}: {req.error}")
+                continue
+            if idx not in self._seg_jits:
+                self._seg_jits[idx] = jax.jit(
+                    lambda s, p=p, req=req: p.execute_resolved(
+                        ctx, s, fp, req))
+            state, ms = slope_ms(self._seg_jits[idx], state, iters=iters)
+            ctx.debug.pass_ms[p.pass_id] = ms
+        ctx.debug.frames += 1
+        ctx.frame_index += 1
+        self._capture_persistent(state)
+        return state
+
     def _capture_persistent(self, state: dict):
         for k in self.PERSISTENT_KEYS:
             if k in state:

@@ -758,7 +758,7 @@ def rasterize_chunklist(
     tile_h: int = 128,
     tile_w: int = 128,
     chunk: int = 16,
-    ccap: int = 192,
+    ccap: int | None = None,
     sub_h: int = 32,
     interpret: bool | None = None,
     y_offset=0,
@@ -780,11 +780,18 @@ def rasterize_chunklist(
     num_tiles = tiles_x * tiles_y
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
-    smem_int_budget = 700_000 // 4
-    ccap = max(8, min(ccap, (smem_int_budget - num_tiles) // num_tiles))
-
     n = setup.coef.shape[0]
     n_pad = _cdiv(n, _SUPER) * _SUPER
+
+    # Worklist capacity: ccap >= n_chunks makes overflow IMPOSSIBLE (a
+    # tile can at most list every chunk); only the SMEM prefetch budget
+    # (~700KB) caps it below that, in which case the returned
+    # max_chunks_per_tile must be checked against ccap by the caller.
+    smem_int_budget = 700_000 // 4
+    n_chunks = n_pad // chunk
+    if ccap is None:
+        ccap = n_chunks
+    ccap = max(8, min(ccap, (smem_int_budget - num_tiles) // num_tiles))
 
     tid_f = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.float32), -1.0)
     rec = jnp.concatenate(

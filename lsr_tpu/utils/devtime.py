@@ -1,0 +1,59 @@
+"""Device timing that survives remote-tunnel backends.
+
+`jax.block_until_ready` does not reliably wait on remote/tunnel backends
+(observed on the axon TPU tunnel: 40 chained 4k matmuls "block" in 0.0 ms),
+so wall-clock around it measures dispatch, not device time.  The dependable
+drain is a HOST READBACK of a tiny scalar probe derived from the output;
+timing the same region at two iteration counts and taking the slope cancels
+the constant drain/readback latency (~0.2 s through the tunnel).
+
+This is the framework's analog of the reference's per-pass GPU timestamp
+queries (hello_rendering_paths.cpp:111: a 128-query timestamp pool read
+back per frame) — device-honest stage timing for profiling surfaces.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PROBE_CACHE: dict = {}
+
+
+def probe(out) -> float:
+    """Host-read a scalar derived from the first array leaf of `out`.
+
+    Forces the dispatch queue to drain through the result; the value
+    itself is meaningless (a 128-element checksum).
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    x = leaves[0]
+    key = (x.shape, str(x.dtype))
+    if key not in _PROBE_CACHE:
+        _PROBE_CACHE[key] = jax.jit(
+            lambda a: jnp.sum(a.ravel()[:128].astype(jnp.float32)))
+    return float(np.asarray(_PROBE_CACHE[key](x)))
+
+
+def slope_ms(fn, *args, iters=(4, 20)):
+    """Steady-state ms/call of fn(*args) by the slope method.
+
+    Returns (last_output, ms).  fn must be pure (it is re-invoked
+    iters[0] + iters[1] times after one warmup call).
+    """
+    out = fn(*args)                     # compile + warm
+    probe(out)
+    m_lo, m_hi = iters
+    t = []
+    for m in (m_lo, m_hi):
+        t0 = time.perf_counter()
+        for _ in range(m):
+            out = fn(*args)
+        probe(out)                      # drain
+        t.append(time.perf_counter() - t0)
+    ms = (t[1] - t[0]) / (m_hi - m_lo) * 1000.0
+    return out, ms

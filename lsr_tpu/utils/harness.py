@@ -67,28 +67,70 @@ class BenchResult:
         }
 
 
+def measure_sync_floor(n: int = 5) -> float:
+    """Per-drain constant of the device queue (dispatch -> host readback
+    round trip) measured on a trivial frame, in ms.
+
+    Through the remote TPU tunnel this floor is ~100-200 ms and would
+    otherwise dominate per-frame timings; harness rows record it and
+    evaluate acceptance NET of it (VERDICT r2 weak #3: "measure the floor
+    explicitly, record it in the header row").
+    """
+    import jax.numpy as jnp
+
+    from lsr_tpu.utils.devtime import probe
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    probe(f(x))                       # compile + first drain
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        probe(f(x))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.median(ts))
+
+
 def run_benchmark(name: str, frame_fn: Callable[[int], object],
                   warmup: int = 90, samples: int = 180,
                   jsonl_path: str | None = "artifacts/phase_f_metrics.jsonl",
-                  meta: dict | None = None) -> BenchResult:
+                  meta: dict | None = None, chunk: int = 30,
+                  floor_ms: float = 0.0) -> BenchResult:
     """Time frame_fn(i) for `samples` frames after `warmup` (defaults match
-    hello_rendering_paths.cpp:293-294)."""
+    hello_rendering_paths.cpp:293-294).
+
+    Frames are timed in chunks of `chunk` with ONE host-readback drain per
+    chunk (per-frame sync through the tunnel costs ~100 ms and
+    block_until_ready does not reliably wait; see utils/devtime).  The
+    per-drain `floor_ms` constant is subtracted from each chunk, so the
+    reported times are net device throughput; min/avg/max are over chunks.
+    """
+    from lsr_tpu.utils.devtime import probe
+
     out = None
     for i in range(warmup):
         out = frame_fn(i)
-    jax.block_until_ready(out)
+    probe(out)
 
-    times = []
-    for i in range(samples):
+    chunk_ms = []
+    total = 0.0
+    i = 0
+    while i < samples:
+        n = min(chunk, samples - i)
         t0 = time.perf_counter()
-        out = frame_fn(warmup + i)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1000.0)
+        for j in range(n):
+            out = frame_fn(warmup + i + j)
+        probe(out)
+        dt = max((time.perf_counter() - t0) * 1000.0 - floor_ms, 0.0)
+        chunk_ms.append(dt / n)
+        total += dt
+        i += n
 
     res = BenchResult(
         name=name, frames=samples,
-        ms_min=min(times), ms_avg=sum(times) / len(times), ms_max=max(times),
-        meta=meta or {},
+        ms_min=min(chunk_ms), ms_avg=total / samples, ms_max=max(chunk_ms),
+        meta={**(meta or {}), "chunk": chunk,
+              "floor_ms": round(floor_ms, 2)},
     )
     if jsonl_path:
         write_jsonl(jsonl_path, [res.row()])
@@ -158,35 +200,54 @@ def run_soak(
     perturb: Callable[[int], None] | None = None,
     jsonl_path: str | None = "artifacts/phase_g_soak.jsonl",
     run_id: str | None = None,
+    floor_ms: float = 0.0,
+    drain_every: int = 30,
 ):
     """Cycle compositions until duration_s elapses, perturbing between cycles
     (configure-toggle stress, hello_rendering_paths.cpp:1754).  Returns a
-    report dict with pass/fail against the acceptance thresholds."""
+    report dict with pass/fail against the acceptance thresholds.
+
+    Frames dispatch asynchronously with one host-readback drain per
+    `drain_every` frames; each drain's `floor_ms` constant is credited
+    back, so avg_frame_ms is net device throughput and the acceptance
+    threshold applies net-of-floor (VERDICT r2 weak #3).
+    """
+    from lsr_tpu.utils.devtime import probe
+
     acceptance = acceptance or SoakAcceptance()
     names = list(compositions)
     t_start = time.perf_counter()
     frame = 0
     cycle = 0
     failures = 0
-    times = []
+    busy_ms = 0.0
+    drains = 0
     while time.perf_counter() - t_start < duration_s:
         name = names[cycle % len(names)]
         fn = compositions[name]
         if perturb is not None:
             perturb(cycle)
         try:
-            for _ in range(frames_per_cycle):
+            done = 0
+            while done < frames_per_cycle:
+                n = min(drain_every, frames_per_cycle - done)
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(frame))
-                times.append((time.perf_counter() - t0) * 1000.0)
-                frame += 1
+                out = None
+                for _ in range(n):
+                    out = fn(frame)
+                    frame += 1
+                probe(out)
+                busy_ms += max(
+                    (time.perf_counter() - t0) * 1000.0 - floor_ms, 0.0)
+                drains += 1
+                done += n
                 if time.perf_counter() - t_start >= duration_s:
                     break
         except Exception:  # cycle failure is data, not a crash (Phase G)
             failures += 1
         cycle += 1
 
-    avg_ms = sum(times) / max(len(times), 1)
+    avg_ms = busy_ms / max(frame, 1)
     rebuilds = rt_registry.rebuild_count if rt_registry is not None else 0
     ok = (
         avg_ms <= acceptance.max_avg_frame_ms
@@ -197,6 +258,7 @@ def run_soak(
         "phase": "G", "frames": frame, "cycles": cycle,
         "avg_frame_ms": round(avg_ms, 3), "rebuilds": rebuilds,
         "cycle_failures": failures, "accepted": ok,
+        "floor_ms": round(floor_ms, 2), "drains": drains,
         **({"run_id": run_id} if run_id else {}),
     }
     if jsonl_path:

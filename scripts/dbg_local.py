@@ -247,12 +247,57 @@ def part_setup():
              clip2, attrs2, valid2, obj2)
 
 
+def part_crop():
+    """A/B the vis_crop knob at the flagship workload (1080p, 8 spots +
+    2 points): full-screen planes vs static crops of decreasing size."""
+    import dataclasses
+
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import (
+        local_shadow_vis_stack, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.models import _norm
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    spot_ids, point_ids = plan_shadow_casters(lights)
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid)
+    wp, nm = gb.world_pos, _norm(gb.normal_ws)
+
+    sh = jax.jit(lambda: render_local_shadow_maps(
+        geom, objects, lights, spot_ids, point_ids,
+        map_size=1024, point_size=512, pcf_radius=1))()
+
+    ref = None
+    for crop in ((), (512, 1024), (384, 768), (256, 512)):
+        s2 = dataclasses.replace(sh, vis_crop=crop)
+        o = bench_fn(f"vis stack crop={crop or 'full'}", jax.jit(
+            lambda a, b, s=s2: local_shadow_vis_stack(s, a, b)), wp, nm)
+        if ref is None:
+            ref = o
+        else:
+            d = jnp.max(jnp.abs(o - ref))
+            print(f"  max|diff| vs full: {float(d):.2e}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("setup",):
         part_setup()
     if which in ("pack", "all"):
         part_pack()
+    if which in ("crop",):
+        part_crop()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):

@@ -20,15 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from tpu_timing import bench_fn  # noqa: E402  (slope-based; see module doc)
+
+
 def timeit(name, fn, *args, iters=20):
-    out = jax.block_until_ready(fn(*args))  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:36s} {ms:8.2f} ms")
-    return out, ms
+    # block_until_ready does NOT wait on the axon tunnel backend; delegate
+    # to the slope-method harness (host-readback probe, two iter counts).
+    del iters
+    out = bench_fn(name, fn, *args)
+    return out, bench_fn.last_ms
 
 
 def main():

@@ -103,7 +103,8 @@ _MODE_FOR = {
 
 def build_preset_pipelines(width, height, presets=None,
                            post=("fxaa",), use_tiled=True,
-                           local_map=1024, local_point=512):
+                           local_map=1024, local_point=512,
+                           with_pipes=False):
     """{preset_name: frame_fn(i) -> ldr} through the real pipeline.
 
     Every preset runs the full flagship workload: scene_cull (frustum +
@@ -124,6 +125,7 @@ def build_preset_pipelines(width, height, presets=None,
     base_state = scene_state(width, height)
     spot_ids, point_ids = plan_shadow_casters(base_state["lights"])
     out = {}
+    pipes = {}
     for preset in builtin_render_path_presets():
         if presets and preset.name not in presets:
             continue
@@ -133,7 +135,11 @@ def build_preset_pipelines(width, height, presets=None,
         fp.technique.light_culling = preset.light_culling
         fp.enable_fxaa = "fxaa" in post
         fp.enable_bloom = "bloom" in post
-        fp.enable_taa = False
+        fp.enable_taa = "taa" in post
+        fp.enable_motion_blur = "motion_blur" in post
+        fp.enable_light_shafts = "light_shafts" in post
+        fp.enable_dof = "depth_of_field" in post
+        fp.enable_motion_vectors = ("taa" in post) or ("motion_blur" in post)
         fp.use_tiled_raster = use_tiled
         fp.pass_params.local_shadow = dataclasses.replace(
             fp.pass_params.local_shadow, spot_ids=spot_ids,
@@ -148,26 +154,33 @@ def build_preset_pipelines(width, height, presets=None,
         assert plan.ok, (preset.name, plan.errors)
         rt_ctx = RenderContext()
 
-        def frame_fn(i, pipe=pipe, fp=fp, rt_ctx=rt_ctx):
+        def state_fn(i):
             a = 0.03 * float(i)
             cam = make_camera(
                 width, height,
                 (0.6 + 0.2 * np.sin(a), 1.6, -4.5), (0, 0, 0))
             state = dict(base_state)
             state["camera"] = cam
+            return state
+
+        def frame_fn(i, pipe=pipe, fp=fp, rt_ctx=rt_ctx):
             # execute_jitted = the production whole-plan jit; the eager
             # instrumented execute() pays ~1.7ms/op of remote dispatch and
             # is ~12x slower through the tunnel.
-            state = pipe.execute_jitted(rt_ctx, state, fp)
+            state = pipe.execute_jitted(rt_ctx, state_fn(i), fp)
             return state["ldr"]
 
         out[preset.name] = frame_fn
+        pipes[preset.name] = (pipe, fp, state_fn)
+    if with_pipes:
+        return out, pipes
     return out
 
 
 def main():
     from lsr_tpu.utils.harness import (
         SoakAcceptance,
+        measure_sync_floor,
         run_backend_parity,
         run_benchmark,
         run_soak,
@@ -178,6 +191,10 @@ def main():
     presets = None
     if os.environ.get("LSR_PHASE_PRESETS"):
         presets = set(os.environ["LSR_PHASE_PRESETS"].split(","))
+
+    floor_ms = measure_sync_floor()
+    print(f"# run_id {run_id}  sync floor {floor_ms:.1f} ms/drain",
+          flush=True)
 
     # ---- Phase I: preset sweep across backends at 320x180 ----------------
     if os.environ.get("LSR_PHASE_I", "1") == "1":
@@ -194,10 +211,48 @@ def main():
                         "xla_brute": brute[name]} for name in tiled}
         write_jsonl("artifacts/phase_i_backend_parity.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
-            "presets": sorted(comps)}])
+            "floor_ms": round(floor_ms, 2), "presets": sorted(comps)}])
         res = run_backend_parity(comps, warmup=2, samples=6, run_id=run_id)
         for name, r in res.items():
             print(f"phase I {name}: match={r['match']}", flush=True)
+
+    # ---- Phase I-posts: post-stack preset sweep (compositions, not just
+    # techniques — render_composition_presets.hpp:138-170 analog) ----------
+    if os.environ.get("LSR_PHASE_I_POSTS", "1") == "1":
+        from lsr_tpu.pipeline.recipe import POST_STACK_PRESETS
+
+        w = int(os.environ.get("LSR_PHASE_W", "320"))
+        h = int(os.environ.get("LSR_PHASE_H", "180"))
+        write_jsonl("artifacts/phase_i_post_stacks.jsonl", [{
+            "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "floor_ms": round(floor_ms, 2),
+            "stacks": sorted(POST_STACK_PRESETS)}])
+        comps = {}
+        for sname, stack in POST_STACK_PRESETS.items():
+            tiled = build_preset_pipelines(w, h, presets, post=stack,
+                                           use_tiled=True,
+                                           local_map=256, local_point=128)
+            brute = build_preset_pipelines(w, h, presets, post=stack,
+                                           use_tiled=False,
+                                           local_map=256, local_point=128)
+            for name in tiled:
+                comps[f"{name}+{sname}"] = {
+                    "pallas_tiled": tiled[name], "xla_brute": brute[name]}
+        res = run_backend_parity(
+            comps, warmup=2, samples=3, run_id=run_id,
+            jsonl_path="artifacts/phase_i_post_stacks.jsonl")
+        # Distinct post stacks must produce distinct images per path.
+        by_path = {}
+        for full_name, r in res.items():
+            path, sname = full_name.rsplit("+", 1)
+            by_path.setdefault(path, {})[sname] = \
+                r["hashes"]["pallas_tiled"][-1]
+            print(f"phase I-posts {full_name}: match={r['match']}",
+                  flush=True)
+        for path, hs in by_path.items():
+            distinct = len(set(hs.values()))
+            print(f"phase I-posts {path}: {distinct}/{len(hs)} distinct "
+                  f"stack hashes", flush=True)
 
     # ---- Phase F: flagship-res benchmark, reference protocol -------------
     if os.environ.get("LSR_PHASE_F", "1") == "1":
@@ -205,15 +260,35 @@ def main():
         h = int(os.environ.get("LSR_PHASE_F_H", "720"))
         warmup = int(os.environ.get("LSR_PHASE_F_WARMUP", "90"))
         samples = int(os.environ.get("LSR_PHASE_F_SAMPLES", "180"))
-        comps = build_preset_pipelines(w, h, presets, use_tiled=True)
+        comps, pipes = build_preset_pipelines(w, h, presets, use_tiled=True,
+                                              with_pipes=True)
         write_jsonl("artifacts/phase_f_metrics.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
-            "warmup": warmup, "samples": samples}])
+            "warmup": warmup, "samples": samples,
+            "floor_ms": round(floor_ms, 2)}])
         for name, fn in comps.items():
             r = run_benchmark(name, fn, warmup=warmup, samples=samples,
-                              meta={"w": w, "h": h, "run_id": run_id})
+                              meta={"w": w, "h": h, "run_id": run_id},
+                              floor_ms=floor_ms)
             print(f"phase F {name}: avg {r.ms_avg:.2f} ms "
                   f"({1000.0 / r.ms_avg:.1f} fps)", flush=True)
+            # Per-pass DEVICE timing at jit speed (execute_segmented; the
+            # reference's GPU timestamp pool, hello_rendering_paths.cpp:111).
+            if os.environ.get("LSR_PHASE_F_PASSES", "1") == "1":
+                from lsr_tpu.pipeline.executor import RenderContext
+
+                pipe, fp, state_fn = pipes[name]
+                ctx2 = RenderContext()
+                pipe.execute_segmented(ctx2, state_fn(0), fp, iters=(1, 3))
+                row = {"phase": "F_pass", "composition": name,
+                       "run_id": run_id,
+                       "pass_ms": {k: round(v, 2)
+                                   for k, v in ctx2.debug.pass_ms.items()}}
+                write_jsonl("artifacts/phase_f_metrics.jsonl", [row])
+                top = sorted(ctx2.debug.pass_ms.items(),
+                             key=lambda kv: -kv[1])[:4]
+                print("  top passes: " + ", ".join(
+                    f"{k} {v:.1f}ms" for k, v in top), flush=True)
 
     # ---- Phase G: soak with perturbations --------------------------------
     if os.environ.get("LSR_PHASE_G", "1") == "1":
@@ -230,11 +305,13 @@ def main():
         # runtime stability under perturbation, not compile latency (the
         # reference's VK pipelines are likewise built at composition-switch
         # time and counted as rebuilds, not frame time).
-        import jax as _jax
+        from lsr_tpu.utils.devtime import probe
 
+        out = None
         for vs in variants:
             for name, fn in vs.items():
-                _jax.block_until_ready(fn(0))
+                out = fn(0)
+        probe(out)                      # drain the warmup dispatches
         cycle_state = {"v": 0}
 
         def perturb(cycle):
@@ -247,10 +324,11 @@ def main():
             soak_comps[name] = fn
         write_jsonl("artifacts/phase_g_soak.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
-            "seconds": secs, "variants": len(variants)}])
+            "seconds": secs, "variants": len(variants),
+            "floor_ms": round(floor_ms, 2)}])
         rep = run_soak(soak_comps, duration_s=secs, frames_per_cycle=240,
                        acceptance=SoakAcceptance(max_avg_frame_ms=50.0),
-                       perturb=perturb, run_id=run_id)
+                       perturb=perturb, run_id=run_id, floor_ms=floor_ms)
         print(f"phase G: {rep}", flush=True)
 
 

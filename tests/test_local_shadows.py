@@ -217,3 +217,50 @@ def test_local_shadows_kernel_matches_xla_path():
         use_kernel=True)
     diff = (np.asarray(hdr_ns) - b).sum(-1)
     assert (diff > 0.05).sum() > 50
+
+
+def test_vis_crop_bit_exact():
+    """vis_crop planes must match full-screen evaluation to 1 ULP (same
+    math; XLA may reassociate reductions inside the lax.cond branches),
+    both when the footprint fits the crop and when it falls back."""
+    import jax
+
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    # Tight spot (small footprint -> crop fits), wide spot (footprint
+    # exceeds the crop -> lax.cond fallback), and a point light.
+    lb.spot((0.5, 3.0, 0.5), (0.0, -1.0, 0.0), intensity=3.0, range=6.0,
+            inner_angle=0.2, outer_angle=0.35)
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=3.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lb.point((1.0, 1.2, -1.0), intensity=3.0, range=5.0)
+    lights = lb.build()
+
+    w, h = 192, 128
+    cam = make_camera(w, h, (0.0, 4.0, -6.0), (0, 0, 0))
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid)
+    nrm = gb.normal_ws / jnp.maximum(
+        jnp.linalg.norm(gb.normal_ws, axis=-1, keepdims=True), 1e-8)
+
+    def stack(crop):
+        sh = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+            map_size=128, point_size=64, pcf_radius=1, vis_crop=crop)
+        return np.asarray(jax.block_until_ready(
+            local_shadow_vis_stack(sh, gb.world_pos, nrm)))
+
+    full = stack(())
+    cropped = stack((64, 128))
+    np.testing.assert_allclose(cropped, full, atol=2e-7)
+    # Sanity: the tight spot actually shadows something.
+    assert (full[..., 0] < 0.99).any()

@@ -284,3 +284,34 @@ def test_flagship_workload_culling_and_local_shadows():
     img_brute = np.asarray(pipe3.execute(RenderContext(), dict(state0),
                                          fp)["ldr"])
     np.testing.assert_array_equal(img_sh, img_brute)
+
+
+def test_segmented_execution_times_passes():
+    """execute_segmented (per-pass jit, device-honest timing) must produce
+    the same frame as the instrumented path and record a per-pass ms for
+    every executed pass."""
+    w, h = 96, 64
+    reg = make_standard_registry()
+    preset = builtin_render_path_presets()[1]  # forward_plus
+    fp = FrameParams(width=w, height=h)
+    fp.technique.mode = _MODE_FOR[preset.name]
+    fp.technique.light_culling = preset.light_culling
+    fp.technique.tile_size = 16
+    fp.technique.max_lights_per_tile = 32
+    fp.pass_params.shadow.map_size = 128
+    fp.raster_tile_h = 16
+    fp.enable_taa = False
+
+    pipe = PluggablePipeline(preexisting_semantics=())
+    assert pipe.configure_from_recipe(preset, reg).ok
+
+    state = _scene_state(w, h)
+    eager = pipe.execute(RenderContext(), dict(state), fp)
+    ctx = RenderContext()
+    seg = pipe.execute_segmented(ctx, dict(state), fp, iters=(1, 2))
+    np.testing.assert_allclose(np.asarray(seg["ldr"]),
+                               np.asarray(eager["ldr"]), atol=1)
+    executed = [p.pass_id for p in pipe.passes
+                if p.pass_id in ctx.debug.pass_ms]
+    assert len(executed) >= 5, ctx.debug.pass_ms
+    assert all(np.isfinite(v) for v in ctx.debug.pass_ms.values())
