@@ -223,10 +223,15 @@ def main():
     with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
     with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
     vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
-    # "chxcw" e.g. "512x1024"; "" = full-screen plane evaluation.
-    crop_env = os.environ.get("LSR_BENCH_VIS_CROP", "512x1024")
-    vis_crop = (tuple(int(t) for t in crop_env.split("x"))
-                if crop_env else ())
+    # "chxcw" e.g. "512x1024"; "" = full-screen; "auto" = half-screen.
+    crop_env = os.environ.get("LSR_BENCH_VIS_CROP", "auto")
+    if crop_env == "auto":
+        from lsr_tpu.lighting.local_shadows import default_vis_crop
+
+        vis_crop = default_vis_crop(height, width)
+    else:
+        vis_crop = (tuple(int(t) for t in crop_env.split("x"))
+                    if crop_env else ())
 
     geom, objects, lights, ctx, eye0 = build_scene()
     frame, spot_ids, point_ids = make_flagship_frame(

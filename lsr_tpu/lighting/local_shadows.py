@@ -133,6 +133,15 @@ class LocalShadowMaps:
                    self.point_viewproj.shape[0])
 
 
+def default_vis_crop(height: int, width: int) -> tuple:
+    """A half-screen crop window rounded to TPU-friendly tile sizes
+    (sublane multiple of 8, lane multiple of 128).  Lights whose footprint
+    exceeds it fall back to full-screen evaluation per plane."""
+    ch = min(height, -(-(height // 2) // 8) * 8)
+    cw = min(width, -(-(width // 2) // 128) * 128)
+    return (ch, cw)
+
+
 def plan_shadow_casters(lights: LightsSoA, max_spot: int = 8,
                         max_point: int = 2, include_area_proxies: bool = True):
     """Pick which lights get shadow maps (host-side, static result).

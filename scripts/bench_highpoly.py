@@ -1,0 +1,100 @@
+"""High-poly raster scaling bench: ~500K-triangle instanced-monkey scene.
+
+The direct kernel's VMEM-resident packed setup caps at 150K triangles
+(passes/standard_passes.py routing); beyond that production falls back to
+the binned kernel (raster/tiled.rasterize_tiled).  This bench measures that
+path at the reference's stress intent (rasterizer.hpp scaling thresholds
+:37-39): setup + raster Mtris/s at 1080p for the binned and chunk-worklist
+kernels, recorded as a BASELINE.md row.
+
+Usage: python scripts/bench_highpoly.py [--grid 33]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_timing import bench_fn
+
+
+def build_highpoly_scene(grid: int):
+    from lsr_tpu.core import math3d as m3
+    from lsr_tpu.io.fast_obj import load_obj_fast as load_obj
+    from lsr_tpu.scene.scene import SceneBuilder
+
+    monkey = load_obj(
+        "/root/reference/cpp-folders/src/assets/obj/monkey/monkey.rawobj")
+    rng = np.random.default_rng(7)
+    sb = SceneBuilder()
+    for i in range(grid * grid):
+        x = (i % grid - grid // 2) * 1.2
+        z = (i // grid - grid // 2) * 1.2
+        rot = float(rng.uniform(0, 2 * np.pi))
+        sb.add(monkey, np.asarray(
+            m3.translate([x, 0.0, z]) @ m3.rotate_y(rot)), material=i % 4)
+    return sb.build()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=33)
+    ap.add_argument("--w", type=int, default=1920)
+    ap.add_argument("--h", type=int, default=1080)
+    args = ap.parse_args()
+
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_chunklist, rasterize_tiled
+    from lsr_tpu.scene.scene import make_camera
+
+    geom, objects = build_highpoly_scene(args.grid)
+    n_tri = geom.indices.shape[0]
+    w, h = args.w, args.h
+    # High, oblique view covering the whole grid.
+    ext = args.grid * 1.2 * 0.72
+    cam = make_camera(w, h, (ext, ext * 0.9, -ext), (0, 0, 0),
+                      fov=np.pi / 3.0)
+
+    f_setup = jax.jit(lambda vp: scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        vp, w, h))
+    setup = bench_fn(f"setup {n_tri / 1e3:.0f}K tris", f_setup, cam.viewproj)
+    setup_ms = bench_fn.last_ms
+    n_valid = int(np.asarray(jnp.sum(setup.valid)))
+    print(f"  valid after clip/cull: {n_valid}")
+
+    results = {}
+    f_binned = jax.jit(lambda s: rasterize_tiled(
+        s, w, h, cam.zn, cam.zf)[:2])
+    d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
+    results["binned"] = bench_fn.last_ms
+
+    f_chunk = jax.jit(lambda s: rasterize_chunklist(
+        s, w, h, cam.zn, cam.zf)[:2])
+    d_c, t_c = bench_fn("rasterize_chunklist", f_chunk, setup)
+    results["chunklist"] = bench_fn.last_ms
+    mism = int(np.asarray(jnp.sum(t_b != t_c)))
+    print(f"  chunklist vs binned tid mismatches: {mism}")
+
+    best = min(results.values())
+    total = setup_ms + best
+    mtris = n_valid / total * 1000.0 / 1e6
+    import json
+    print(json.dumps({
+        "metric": f"highpoly_{n_tri}tris_{w}x{h}_setup+raster_ms",
+        "value": round(total, 2), "unit": "ms",
+        "mtris_per_s": round(mtris, 1),
+        "setup_ms": round(setup_ms, 2),
+        **{f"{k}_ms": round(v, 2) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

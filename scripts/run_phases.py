@@ -141,10 +141,13 @@ def build_preset_pipelines(width, height, presets=None,
         fp.enable_dof = "depth_of_field" in post
         fp.enable_motion_vectors = ("taa" in post) or ("motion_blur" in post)
         fp.use_tiled_raster = use_tiled
+        from lsr_tpu.lighting.local_shadows import default_vis_crop
+
         fp.pass_params.local_shadow = dataclasses.replace(
             fp.pass_params.local_shadow, spot_ids=spot_ids,
             point_ids=point_ids, map_size=local_map,
-            point_size=local_point)
+            point_size=local_point,
+            vis_crop=default_vis_crop(height, width))
 
         reg = make_standard_registry()
         pipe = PluggablePipeline(preexisting_semantics=())
