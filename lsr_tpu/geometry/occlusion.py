@@ -29,8 +29,15 @@ from lsr_tpu.raster.tiled import rasterize_tiled
 def render_occluder_depth(geom, objects, viewproj, zn, zf,
                           width: int = 320, height: int = 180,
                           occluder_mask=None, use_tiled: bool = True,
-                          cap: int = 1024):
-    """Depth-only raster of occluder geometry at proxy resolution."""
+                          cap: int = 1024, kernel: str | None = None):
+    """Depth-only raster of occluder geometry at proxy resolution.
+
+    kernel: "direct" (listless, the default for proxy-sized buffers —
+    avoids the binned path's scatter), "binned", or "brute" (XLA anchor);
+    use_tiled=False is the legacy spelling of "brute"."""
+    from lsr_tpu.raster.setup import DEPTH_NDC01
+    from lsr_tpu.raster.tiled import rasterize_direct
+
     mask = objects.visible if occluder_mask is None else occluder_mask
     setup = scene_setup(
         geom.positions, geom.normals, geom.uvs, geom.indices,
@@ -38,7 +45,12 @@ def render_occluder_depth(geom, objects, viewproj, zn, zf,
         objects.model, objects.normal_mat, viewproj,
         width, height, obj_visible=mask,
     )
-    if use_tiled:
+    if kernel is None:
+        kernel = "direct" if use_tiled else "brute"
+    if kernel == "direct":
+        depth, _, _ = rasterize_direct(setup, width, height, zn, zf,
+                                       track_ids=False)
+    elif kernel == "binned":
         depth, _, _ = rasterize_tiled(setup, width, height, zn, zf, cap=cap)
     else:
         depth, _ = rasterize_brute(setup, width, height, zn, zf)

@@ -234,34 +234,30 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
                        use_tiled, pcf_radius):
     """Depth-render every slot of one stack and pack its tap table.
 
-    The geometry front-end for ALL slots runs as one multi-view setup
-    sweep (scene_setup_slots: world transform + attribute gather once,
-    flat-row clip — a vmapped per-slot setup lowers to slow batched-gather
-    HLO); the depth rasters then run per slot via lax.map (measured faster
-    than one stacked tall-framebuffer launch, scripts/dbg_local.py)."""
+    One lax.map over slots runs setup + depth raster per slot — measured
+    fastest against a vmapped setup, a multi-view setup sweep
+    (scene_setup_slots), and a stacked tall-framebuffer raster
+    (scripts/dbg_local.py part_raster: 46.4 ms for 8x1024 incl. setup vs
+    65.4 for multi-setup+map; lax.map setup alone 13.8 ms vs 23.9 multi)."""
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.raster.brute import rasterize_brute
-    from lsr_tpu.raster.setup import (
-        CULL_NONE, DEPTH_NDC01, scene_setup_slots)
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
     from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.scene.scene import object_world_aabbs
 
     one = jnp.float32(1.0)
     wmin, wmax = object_world_aabbs(objects)
 
-    # Per-slot caster culling (the reference culls casters per light,
-    # record_shadow_passes :6912): casters outside a slot's frustum produce
-    # no valid setup lanes there, so its kernel skips them.
-    slot_masks = caster_mask[None] & jax.vmap(
-        lambda vp: frustum_cull_objects(vp, wmin, wmax))(vp_stack)
-    setups = scene_setup_slots(
-        geom.positions, geom.normals, geom.uvs, geom.indices,
-        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
-        vp_stack, size, cull_mode=CULL_NONE,
-        obj_visible_slots=slot_masks,
-    )
-
-    def render_slot(setup):
+    def render_slot(vp):
+        # Per-slot caster culling (the reference culls casters per light,
+        # record_shadow_passes :6912): casters outside a slot's frustum
+        # produce no valid setup lanes, so its kernel skips them.
+        sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+        setup = scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vp, size, size, cull_mode=CULL_NONE, obj_visible=sm,
+        )
         if use_tiled:
             d, _, _ = rasterize_direct(
                 setup, size, size, jnp.float32(0.0), one,
@@ -275,7 +271,7 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
             )
         return d
 
-    depth = jax.lax.map(render_slot, setups)        # (n, S, S)
+    depth = jax.lax.map(render_slot, vp_stack)      # (n, S, S)
     taps = jax.vmap(
         lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
     return taps.reshape(depth.shape[0] * taps.shape[1], -1)
@@ -612,14 +608,24 @@ def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
 
 def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     """All POINT_CUBE planes: (len(ks), H, W); vis_crop as in
-    _spot_planes (the range sphere bounds the footprint)."""
+    _spot_planes (the range sphere bounds the footprint).
+
+    Points get a 1.5x-larger window than spots: a range sphere's screen
+    bbox is typically taller than a spot's ground ellipse, and a window
+    that never fits degrades to full-screen plus crop overhead (the
+    measured failure mode of small crops, scripts/dbg_local.py part_crop)."""
+    if sh.vis_crop:
+        ch, cw = sh.vis_crop
+        h, w = world_pos.shape[:2]
+        crop = (min(h, -(-(ch * 3 // 2) // 8) * 8),
+                min(w, -(-(cw * 3 // 2) // 128) * 128))
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _point_plane_one(sh, k, wp, nm)
         if sh.vis_crop:
             mask = _point_in_reach(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *sh.vis_crop))
+                                         *crop))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)

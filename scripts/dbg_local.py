@@ -290,6 +290,35 @@ def part_crop():
             print(f"  max|diff| vs full: {float(d):.2e}")
 
 
+def part_cull():
+    """A/B the per-frame scene-cull step's occluder raster kernel."""
+    import bench as bench_mod
+    from lsr_tpu.geometry.occlusion import (
+        occlusion_cull_aabbs, render_occluder_depth)
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.scene.scene import make_camera, object_world_aabbs
+
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(1920, 1080, eye, (0, 0, 0), fov=np.pi / 3.2)
+    wmin, wmax = object_world_aabbs(objects)
+
+    def cull(vp, kernel):
+        vis = objects.visible & frustum_cull_objects(vp, wmin, wmax)
+        occ = render_occluder_depth(
+            geom, objects, vp, cam.zn, cam.zf, 320, 180,
+            occluder_mask=vis, kernel=kernel)
+        return vis & occlusion_cull_aabbs(occ, vp, wmin, wmax,
+                                          cam.zn, cam.zf)
+
+    outs = {}
+    for kernel in ("binned", "direct"):
+        outs[kernel] = bench_fn(
+            f"scene_cull occluder={kernel}", jax.jit(
+                lambda vp, k=kernel: cull(vp, k)), cam.viewproj)
+    print("  direct == binned:",
+          bool(jnp.array_equal(outs["direct"], outs["binned"])))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("setup",):
@@ -298,6 +327,8 @@ if __name__ == "__main__":
         part_pack()
     if which in ("crop",):
         part_crop()
+    if which in ("cull",):
+        part_cull()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):

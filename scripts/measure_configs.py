@@ -11,16 +11,18 @@ import numpy as np
 
 
 def timeit_frames(name, fn, frames=30, warmup=5):
-    import jax
+    # block_until_ready does NOT wait on the tunnel backend; drain via a
+    # host-readback probe and report net throughput (utils/devtime).
+    from lsr_tpu.utils.devtime import probe
 
     out = None
     for i in range(warmup):
         out = fn(i)
-    jax.block_until_ready(out)
+    probe(out)
     t0 = time.perf_counter()
     for i in range(frames):
         out = fn(i)
-    jax.block_until_ready(out)
+    probe(out)
     dt = (time.perf_counter() - t0) / frames
     print(f"{name}: {1.0 / dt:.2f} fps ({dt * 1000:.2f} ms)", flush=True)
     return 1.0 / dt

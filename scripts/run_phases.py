@@ -199,6 +199,24 @@ def main():
     print(f"# run_id {run_id}  sync floor {floor_ms:.1f} ms/drain",
           flush=True)
 
+    # Mosaic-compile goldens gate (VERDICT r2 weak #8: the CI suite runs
+    # Pallas in interpret mode, so kernel-compile regressions must be
+    # caught here, where the real device is in hand).
+    if os.environ.get("LSR_PHASE_GOLDENS", "1") == "1":
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "tpu_goldens.py")],
+            capture_output=True, text=True, cwd=repo, timeout=3600)
+        sys.stdout.write(r.stdout[-2000:])
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            raise SystemExit(
+                "tpu goldens FAILED — kernel behavior changed; fix or "
+                "re-record with scripts/tpu_goldens.py --update")
+        print("# tpu goldens: all match", flush=True)
+
     # ---- Phase I: preset sweep across backends at 320x180 ----------------
     if os.environ.get("LSR_PHASE_I", "1") == "1":
         w = int(os.environ.get("LSR_PHASE_W", "320"))

@@ -51,7 +51,8 @@ def build_cases():
     from lsr_tpu.passes.tonemap import tonemap_pass
     from lsr_tpu.raster.interp import interpolate_gbuffer
     from lsr_tpu.raster.setup import scene_setup
-    from lsr_tpu.raster.tiled import rasterize_direct, rasterize_tiled
+    from lsr_tpu.raster.tiled import (
+        rasterize_chunklist, rasterize_direct, rasterize_tiled)
     from lsr_tpu.scene.scene import SceneBuilder, make_camera
     from lsr_tpu.shading.common import make_materials
     from lsr_tpu.shading.models import make_shade_context
@@ -120,9 +121,18 @@ def build_cases():
             tile_size=16, cap=64, mode="tiled", use_kernel=True)
         return tonemap_pass(hdr)
 
+    @jax.jit
+    def case_raster_chunklist():
+        setup = setup_fn()
+        depth, tid, _ = rasterize_chunklist(setup, w, h, cam.zn, cam.zf)
+        return quantize_u8(jnp.stack(
+            [depth, (tid >= 0).astype(jnp.float32),
+             (tid.astype(jnp.float32) % 255.0) / 255.0], -1))
+
     return {
         "raster_direct": case_raster_direct,
         "raster_binned": case_raster_binned,
+        "raster_chunklist": case_raster_chunklist,
         "fplus_kernel": case_fplus_kernel,
         "shade_fused": case_shade_fused,
     }
