@@ -134,10 +134,14 @@ class LocalShadowMaps:
 
 
 def default_vis_crop(height: int, width: int) -> tuple:
-    """A half-screen crop window rounded to TPU-friendly tile sizes
+    """A (5/8 h, 1/2 w) crop window rounded to TPU-friendly tile sizes
     (sublane multiple of 8, lane multiple of 128).  Lights whose footprint
-    exceeds it fall back to full-screen evaluation per plane."""
-    ch = min(height, -(-(height // 2) // 8) * 8)
+    exceeds it fall back to full-screen evaluation per plane — and a
+    window that's too small is WORSE than none (measured: (256,512) slower
+    than full-screen at 1080p).  The 5/8 height covers the flagship
+    orbit's measured footprints (spot bboxes up to 652x897 at 1080p,
+    point range-spheres 535x558) with zero fallbacks."""
+    ch = min(height, -(-(height * 5 // 8) // 8) * 8)
     cw = min(width, -(-(width // 2) // 128) * 128)
     return (ch, cw)
 
@@ -608,24 +612,16 @@ def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
 
 def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     """All POINT_CUBE planes: (len(ks), H, W); vis_crop as in
-    _spot_planes (the range sphere bounds the footprint).
-
-    Points get a 1.5x-larger window than spots: a range sphere's screen
-    bbox is typically taller than a spot's ground ellipse, and a window
-    that never fits degrades to full-screen plus crop overhead (the
-    measured failure mode of small crops, scripts/dbg_local.py part_crop)."""
-    if sh.vis_crop:
-        ch, cw = sh.vis_crop
-        h, w = world_pos.shape[:2]
-        crop = (min(h, -(-(ch * 3 // 2) // 8) * 8),
-                min(w, -(-(cw * 3 // 2) // 128) * 128))
+    _spot_planes (the range sphere bounds the footprint; the flagship
+    orbit's point footprints are smaller than its spots', so one shared
+    window covers both kinds)."""
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _point_plane_one(sh, k, wp, nm)
         if sh.vis_crop:
             mask = _point_in_reach(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *crop))
+                                         *sh.vis_crop))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)

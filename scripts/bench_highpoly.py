@@ -77,9 +77,10 @@ def main():
     results["binned"] = bench_fn.last_ms
 
     f_chunk = jax.jit(lambda s: rasterize_chunklist(
-        s, w, h, cam.zn, cam.zf)[:2])
-    d_c, t_c = bench_fn("rasterize_chunklist", f_chunk, setup)
+        s, w, h, cam.zn, cam.zf))
+    d_c, t_c, max_cnt = bench_fn("rasterize_chunklist", f_chunk, setup)
     results["chunklist"] = bench_fn.last_ms
+    print(f"  chunklist max_chunks_per_tile: {int(np.asarray(max_cnt))}")
     mism = int(np.asarray(jnp.sum(t_b != t_c)))
     print(f"  chunklist vs binned tid mismatches: {mism}")
 

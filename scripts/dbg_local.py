@@ -279,7 +279,9 @@ def part_crop():
         map_size=1024, point_size=512, pcf_radius=1))()
 
     ref = None
-    for crop in ((), (512, 1024), (384, 768), (256, 512)):
+    # (680, 1024) = default_vis_crop(1080, 1920): zero fallbacks over the
+    # bench orbit (measured footprints: spots <=652x897, points <=535x558).
+    for crop in ((), (680, 1024), (512, 1024)):
         s2 = dataclasses.replace(sh, vis_crop=crop)
         o = bench_fn(f"vis stack crop={crop or 'full'}", jax.jit(
             lambda a, b, s=s2: local_shadow_vis_stack(s, a, b)), wp, nm)
