@@ -281,6 +281,48 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
     return taps.reshape(depth.shape[0] * taps.shape[1], -1)
 
 
+def plan_slot_stacks(lights: LightsSoA, spot_ids: tuple, point_ids: tuple):
+    """Trace-level slot metadata shared by the single-chip builder and the
+    sp-sharded atlas (parallel/sharding.py): returns (kinds, base_slots,
+    caster_pos (K,3), caster_range (K,), strengths [K], spot_vp (S,4,4),
+    point_vp (P*6,4,4))."""
+    kinds, base_slots, caster_pos, caster_range, strengths = \
+        [], [], [], [], []
+    spot_vps, point_vps = [], []
+    for sid in spot_ids:
+        spot_vps.append(_spot_viewproj(
+            lights.position[sid], lights.direction[sid],
+            lights.outer_angle[sid], lights.range[sid]))
+        kinds.append(SHADOW_SPOT_2D)
+        base_slots.append(len(spot_vps) - 1)
+        caster_pos.append(lights.position[sid])
+        caster_range.append(lights.range[sid])
+        strengths.append(_LOCAL_STRENGTH)
+    for pid in point_ids:
+        kinds.append(SHADOW_POINT_CUBE)
+        base_slots.append(len(point_vps))
+        point_vps.extend(_point_face_viewprojs(lights.position[pid],
+                                               lights.range[pid]))
+        caster_pos.append(lights.position[pid])
+        caster_range.append(lights.range[pid])
+        strengths.append(_LOCAL_STRENGTH)
+    spot_vp = (jnp.stack(spot_vps) if spot_vps
+               else jnp.zeros((0, 4, 4), jnp.float32))
+    point_vp = (jnp.stack(point_vps) if point_vps
+                else jnp.zeros((0, 4, 4), jnp.float32))
+    return (kinds, base_slots, caster_pos, caster_range, strengths,
+            spot_vp, point_vp)
+
+
+def shadow_index_for_lights(lights: LightsSoA, spot_ids, point_ids):
+    """(L,) i32: visibility-stack channel per light; K = unshadowed."""
+    k_total = len(spot_ids) + len(point_ids)
+    idx = np.full(lights.count, k_total, np.int32)
+    for k, sid in enumerate(list(spot_ids) + list(point_ids)):
+        idx[sid] = k
+    return jnp.asarray(idx)
+
+
 @partial(
     jax.jit,
     static_argnames=("spot_ids", "point_ids", "map_size", "point_size",
@@ -314,50 +356,24 @@ def render_local_shadow_maps(
     if point_size is None:
         point_size = map_size
 
-    kinds, base_slots, caster_pos, caster_range, strengths = \
-        [], [], [], [], []
-    spot_vps, point_vps = [], []
-    for sid in spot_ids:
-        spot_vps.append(_spot_viewproj(
-            lights.position[sid], lights.direction[sid],
-            lights.outer_angle[sid], lights.range[sid]))
-        kinds.append(SHADOW_SPOT_2D)
-        base_slots.append(len(spot_vps) - 1)
-        caster_pos.append(lights.position[sid])
-        caster_range.append(lights.range[sid])
-        strengths.append(_LOCAL_STRENGTH)
-    for pid in point_ids:
-        kinds.append(SHADOW_POINT_CUBE)
-        base_slots.append(len(point_vps))
-        point_vps.extend(_point_face_viewprojs(lights.position[pid],
-                                               lights.range[pid]))
-        caster_pos.append(lights.position[pid])
-        caster_range.append(lights.range[pid])
-        strengths.append(_LOCAL_STRENGTH)
+    (kinds, base_slots, caster_pos, caster_range, strengths,
+     spot_vp, point_vp) = plan_slot_stacks(lights, spot_ids, point_ids)
 
     caster_mask = objects.casts_shadow & objects.visible
 
-    spot_vp = (jnp.stack(spot_vps) if spot_vps
-               else jnp.zeros((0, 4, 4), jnp.float32))
-    point_vp = (jnp.stack(point_vps) if point_vps
-                else jnp.zeros((0, 4, 4), jnp.float32))
-
     spot_taps = None
-    if spot_vps:
+    if spot_vp.shape[0]:
         spot_taps = _render_slot_stack(
             geom, objects, spot_vp, map_size, caster_mask, use_tiled,
             pcf_radius)
     point_taps = None
-    if point_vps:
+    if point_vp.shape[0]:
         point_taps = _render_slot_stack(
             geom, objects, point_vp, point_size, caster_mask, use_tiled,
             pcf_radius)
 
     # Per-light index into the visibility stack: K for "unshadowed".
-    k_total = len(kinds)
-    idx = np.full(lights.count, k_total, np.int32)
-    for k, sid in enumerate(list(spot_ids) + list(point_ids)):
-        idx[sid] = k
+    idx = shadow_index_for_lights(lights, spot_ids, point_ids)
 
     return LocalShadowMaps(
         spot_taps=spot_taps,
@@ -366,7 +382,7 @@ def render_local_shadow_maps(
         point_viewproj=point_vp.reshape(-1, 16),
         caster_pos=jnp.stack(caster_pos),
         caster_range=jnp.stack(caster_range),
-        light_shadow_index=jnp.asarray(idx),
+        light_shadow_index=idx,
         strength=jnp.asarray(strengths, jnp.float32),
         bias_const=jnp.float32(bias_const),
         bias_slope=jnp.float32(bias_slope),

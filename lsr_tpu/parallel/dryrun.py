@@ -130,7 +130,16 @@ def run_flagship_dryrun(n_devices: int) -> None:
                              camera_pos=(0.5, 1.8, -3.5), light_intensity=2.0)
     lb = LightSetBuilder()
     rng = np.random.default_rng(2)
-    for _ in range(12):
+    # Shadow-budgeted casters first (2 spots + 2 points -> both atlas
+    # stacks shard over "sp"), then unshadowed fill.
+    for sx in (-1.5, 1.5):
+        lb.spot((sx, 2.5, 0.5), (0, -1, 0), color=(1.0, 0.9, 0.7),
+                intensity=2.5, range=4.0, inner_angle=0.4, outer_angle=0.7)
+    for _ in range(2):
+        lb.point(tuple(rng.uniform([-2, 0.8, -2], [2, 1.4, 2]).tolist()),
+                 color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
+                 intensity=1.6, range=2.5)
+    for _ in range(8):
         lb.point(tuple(rng.uniform([-2, 0.2, -2], [2, 1.5, 2]).tolist()),
                  color=tuple(rng.uniform(0.3, 1.0, 3).tolist()),
                  intensity=1.5, range=2.0)
@@ -195,7 +204,8 @@ def run_flagship_dryrun(n_devices: int) -> None:
                      "shadow": shadow_size, "step_ms": round(ms, 2),
                      "platform": jax.devices()[0].platform})
         print(f"flagship dryrun ok: dp={dp} sp={sp} "
-              f"(shadow all_gather + fxaa ppermute halos, all {dp} dp "
+              f"(cull + sp-sharded local atlas all_gather + sun shadow "
+              f"all_gather + fxaa ppermute halos, all {dp} dp "
               f"slices bit-exact), {ms:.1f} ms/step")
     try:
         path = "artifacts/multichip_scaling.jsonl"

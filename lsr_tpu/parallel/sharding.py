@@ -81,17 +81,28 @@ def render_band(geom, objects, viewproj, zn, zf, shade_ctx,
 
 def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
                           width: int, height: int, shadow_size: int = 256,
-                          tile_size: int = 16, model_name: str = "pbr_mr"):
-    """Full flagship frame (sun shadow + forward+ + tonemap + FXAA) sharded
-    over a ("dp", "sp") mesh — the multi-chip composition of the whole
-    pipeline, not just the raster smoke test:
+                          tile_size: int = 16, model_name: str = "pbr_mr",
+                          local_map: int = 128, local_point: int = 64,
+                          with_local: bool = True, with_cull: bool = True):
+    """Full flagship frame (per-frame cull + sun shadow + local shadow
+    atlas + forward+ + tonemap + FXAA) sharded over a ("dp", "sp") mesh —
+    the multi-chip composition of the whole reference-complete pipeline
+    (hello_rendering_paths.cpp:8360 frame structure):
 
     - The 2048^2-class sun shadow map is itself rendered in sp ROW BANDS and
       assembled with ONE `lax.all_gather` over the "sp" axis (ICI), because
       every band's PCF sampling needs the full map.
+    - The LOCAL SHADOW ATLAS (8 spot + 2 point x 6 faces,
+      hello_rendering_paths.cpp:104-109) shards its SLOTS over "sp": each
+      rank depth-renders + packs its slice of the slot stack, and one
+      `lax.all_gather` per stack assembles the tap tables everywhere —
+      model parallelism over ICI for the shadow workload.
+    - Per-frame scene culling (frustum + software occlusion at proxy
+      resolution, :94-97) runs replicated per dp camera — the proxy
+      raster is ~2% of the frame, so replication beats an extra gather.
     - Screen rows shard over "sp" (band raster + interp + shadow visibility
-      + binned light accumulation on band-sliced tile lists); cameras shard
-      over "dp".
+      + local visibility planes + binned light accumulation on band-sliced
+      tile lists); cameras shard over "dp".
     - FXAA exchanges 1-row halos with `lax.ppermute` between band
       neighbors, so the sharded post-process is BIT-EXACT vs single device
       (frame borders clamp exactly like the unsharded pass).
@@ -104,16 +115,23 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
     from jax import lax
 
     from lsr_tpu.camera.light_camera import build_dir_light_camera
+    from lsr_tpu.geometry.occlusion import (
+        occlusion_cull_aabbs, render_occluder_depth)
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.lighting.light_culling import cull_lights_tiled
     from lsr_tpu.lighting.light_runtime import accumulate_local_lights
+    from lsr_tpu.lighting.local_shadows import (
+        _TAP_STRIDE, LocalShadowMaps, _render_slot_stack,
+        local_shadow_vis_stack, plan_shadow_casters, plan_slot_stacks,
+        shadow_index_for_lights)
     from lsr_tpu.lighting.shadow_sample import make_shadow_context
     from lsr_tpu.passes.post import fxaa_pass
     from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01
     from lsr_tpu.raster.tiled import rasterize_direct
-    from lsr_tpu.scene.scene import shadow_caster_aabb
+    from lsr_tpu.scene.scene import object_world_aabbs, shadow_caster_aabb
     from lsr_tpu.shading.common import gather_materials
     from lsr_tpu.shading.models import (
-        SHADING_MODELS, composite_over_background)
+        SHADING_MODELS, composite_over_background, _norm)
 
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
@@ -130,9 +148,57 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
     if shard_map is None:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    spot_ids, point_ids = (plan_shadow_casters(lights) if with_local
+                           else ((), ()))
+
     def step(viewprojs, views, proj, zn, zf, sun_dir):
         def shard_fn(vp_local, view_local):
             sp_idx = jax.lax.axis_index("sp")
+
+            # --- local shadow atlas: SLOTS shard over "sp" ---------------
+            local_sh = None
+            if with_local and (spot_ids or point_ids):
+                (kinds, base_slots, c_pos, c_rng, strengths,
+                 spot_vp, point_vp) = plan_slot_stacks(
+                    lights, spot_ids, point_ids)
+                caster_mask = objects.casts_shadow & objects.visible
+
+                def sharded_taps(vp_stack, size):
+                    n = vp_stack.shape[0]
+                    if n == 0:
+                        return None
+                    per = -(-n // sp)
+                    pad = per * sp - n
+                    vp_pad = jnp.concatenate(
+                        [vp_stack,
+                         jnp.zeros((pad, 4, 4), jnp.float32)]) \
+                        if pad else vp_stack
+                    vp_loc = lax.dynamic_slice_in_dim(
+                        vp_pad, sp_idx * per, per, 0)
+                    taps_loc = _render_slot_stack(
+                        geom, objects, vp_loc, size, caster_mask,
+                        True, 1)               # (per*na2, win^2)
+                    taps = lax.all_gather(taps_loc, "sp", axis=0,
+                                          tiled=True)
+                    na2 = (-(-size // _TAP_STRIDE)) ** 2
+                    return taps[: n * na2]
+
+                local_sh = LocalShadowMaps(
+                    spot_taps=sharded_taps(spot_vp, local_map),
+                    point_taps=sharded_taps(point_vp, local_point),
+                    spot_viewproj=spot_vp.reshape(-1, 16),
+                    point_viewproj=point_vp.reshape(-1, 16),
+                    caster_pos=jnp.stack(c_pos),
+                    caster_range=jnp.stack(c_rng),
+                    light_shadow_index=shadow_index_for_lights(
+                        lights, spot_ids, point_ids),
+                    strength=jnp.asarray(strengths, jnp.float32),
+                    bias_const=jnp.float32(2e-3),
+                    bias_slope=jnp.float32(6e-3),
+                    spot_size=local_map, point_size=local_point,
+                    pcf_radius=1, kinds=tuple(kinds),
+                    base_slots=tuple(base_slots),
+                )
 
             # --- sun shadow map: band raster + all_gather ----------------
             smin, smax = shadow_caster_aabb(objects)
@@ -156,11 +222,25 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
 
             def one(vp, view):
                 y0 = sp_idx * band_h
+                # Per-frame scene cull (frustum + proxy occlusion,
+                # hello_rendering_paths.cpp:94-97), replicated per camera.
+                view_mask = objects.visible
+                if with_cull:
+                    wmin, wmax = object_world_aabbs(objects)
+                    view_mask = view_mask & frustum_cull_objects(
+                        vp, wmin, wmax)
+                    occ = render_occluder_depth(
+                        geom, objects, vp, zn, zf,
+                        max(tile_size, width // 4),
+                        max(tile_size, height // 4),
+                        occluder_mask=view_mask)
+                    view_mask = view_mask & occlusion_cull_aabbs(
+                        occ, vp, wmin, wmax, zn, zf)
                 setup = scene_setup(
                     geom.positions, geom.normals, geom.uvs, geom.indices,
                     geom.vtx_obj, geom.tri_obj, objects.model,
                     objects.normal_mat, vp, width, height,
-                    obj_visible=objects.visible)
+                    obj_visible=view_mask)
                 depth, tid, _ = rasterize_direct(
                     setup, width, band_h, zn, zf,
                     y_offset=y0, full_height=height)
@@ -181,9 +261,20 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
                     sp_idx * band_tiles_y, band_tiles_y, axis=0)
                 band_lists = band_lists.reshape(
                     band_tiles_y * tiles_x, -1)
+                vis_stack = None
+                shadow_idx = None
+                if local_sh is not None:
+                    # Per-band local visibility planes from the gathered
+                    # atlas tables (exact: pointwise + gather math on the
+                    # band's own rows).
+                    vis_stack = local_shadow_vis_stack(
+                        local_sh, gb.world_pos, _norm(gb.normal_ws))
+                    shadow_idx = local_sh.light_shadow_index
                 diff, spec = accumulate_local_lights(
                     gb.world_pos, gb.normal_ws, ctx_sh.camera_pos, lights,
-                    band_lists, width, band_h, tile_size=tile_size)
+                    band_lists, width, band_h, tile_size=tile_size,
+                    shadow_vis_stack=vis_stack,
+                    light_shadow_index=shadow_idx)
                 albedo, _, _, _, _, _ = gather_materials(
                     ctx_sh.materials, gb.obj_id, mat_rec=gb.mat)
                 hdr = base + jnp.maximum(albedo, 0.0) * diff + spec

@@ -50,7 +50,8 @@ def main():
     args = ap.parse_args()
 
     from lsr_tpu.raster.setup import scene_setup
-    from lsr_tpu.raster.tiled import rasterize_chunklist, rasterize_tiled
+    from lsr_tpu.raster.tiled import (
+        rasterize_chunklist, rasterize_direct, rasterize_tiled)
     from lsr_tpu.scene.scene import make_camera
 
     geom, objects = build_highpoly_scene(args.grid)
@@ -83,6 +84,16 @@ def main():
     print(f"  chunklist max_chunks_per_tile: {int(np.asarray(max_cnt))}")
     mism = int(np.asarray(jnp.sum(t_b != t_c)))
     print(f"  chunklist vs binned tid mismatches: {mism}")
+
+    # The direct kernel keeps the packed setup in HBM (per-super DMA), so
+    # its 150K routing cap may be stale — measure it at scale too.
+    f_direct = jax.jit(lambda s: rasterize_direct(
+        s, w, h, cam.zn, cam.zf))
+    d_d, t_d, max_sup = bench_fn("rasterize_direct", f_direct, setup)
+    results["direct"] = bench_fn.last_ms
+    print(f"  direct max_supers_per_tile: {int(np.asarray(max_sup))}")
+    mism_d = int(np.asarray(jnp.sum(t_b != t_d)))
+    print(f"  direct vs binned tid mismatches: {mism_d}")
 
     best = min(results.values())
     total = setup_ms + best
