@@ -151,7 +151,10 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             local_sh = render_local_shadow_maps(
                 geom, objects, lights, spot_ids, point_ids,
                 map_size=local_map, point_size=local_point,
-                pcf_radius=1, vis_scale=vis_scale,
+                # The reference flagship samples spot AND point shadows at
+                # the sun's pcf radius 2 (hello_rendering_paths.cpp:6397,
+                # :6650 pass sun_shadow_params.w=2.0 per light).
+                pcf_radius=2, vis_scale=vis_scale,
                 vis_crop=tuple(vis_crop))
 
         sm_depth, light_vp = render_shadow_map(

@@ -109,7 +109,8 @@ class LocalShadowParams:
     point_ids: tuple = ()
     map_size: int = 1024       # local_resolution (spot / area-proxy maps)
     point_size: int = 512      # point_resolution (cube faces)
-    pcf_radius: int = 1        # ShadowFilter::PCF3x3
+    pcf_radius: int = 2        # flagship PCF5x5 for locals (:2894; per-
+                               # light radius = sun's 2.0 at :6397/:6650)
     bias_const: float = 2e-3
     bias_slope: float = 6e-3
     vis_scale: int = 1         # sampling-resolution divisor for the

@@ -48,8 +48,11 @@ def render_occluder_depth(geom, objects, viewproj, zn, zf,
     if kernel is None:
         kernel = "direct" if use_tiled else "brute"
     if kernel == "direct":
+        from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP
+
         depth, _, _ = rasterize_direct(setup, width, height, zn, zf,
-                                       track_ids=False)
+                                       track_ids=False,
+                                       spatial_sort=SORT_DEPTH_SETUP)
     elif kernel == "binned":
         depth, _, _ = rasterize_tiled(setup, width, height, zn, zf, cap=cap)
     else:

@@ -263,10 +263,12 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
             vp, size, size, cull_mode=CULL_NONE, obj_visible=sm,
         )
         if use_tiled:
+            from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP
+
             d, _, _ = rasterize_direct(
                 setup, size, size, jnp.float32(0.0), one,
                 depth_mode=DEPTH_NDC01, track_ids=False,
-                tile_h=128, tile_w=128,
+                tile_h=128, tile_w=128, spatial_sort=SORT_DEPTH_SETUP,
             )
         else:
             d, _ = rasterize_brute(
@@ -276,8 +278,10 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
         return d
 
     depth = jax.lax.map(render_slot, vp_stack)      # (n, S, S)
-    taps = jax.vmap(
-        lambda d: pack_shadow_taps(d, pcf_radius, _TAP_STRIDE))(depth)
+    from lsr_tpu.lighting import shadow_sample as _ss
+
+    pack = (_ss.pack_shadow_taps_u16 if _ss.TAPS_U16 else pack_shadow_taps)
+    taps = jax.vmap(lambda d: pack(d, pcf_radius, _TAP_STRIDE))(depth)
     return taps.reshape(depth.shape[0] * taps.shape[1], -1)
 
 
@@ -425,7 +429,9 @@ def _pcf_from_rows(taps, rows, rx, ry, z_test, radius: int):
     ryl = ry[..., None]
     m = ((li >= ryl) & (li <= ryl + 2 * radius)
          & (lj >= rxl) & (lj <= rxl + 2 * radius)).astype(jnp.float32)
-    lit = jnp.sum((z_test[..., None] <= window).astype(jnp.float32) * m, -1)
+    from lsr_tpu.lighting.shadow_sample import count_lit
+
+    lit = count_lit(window, z_test, m)
     return lit / float((2 * radius + 1) ** 2)
 
 

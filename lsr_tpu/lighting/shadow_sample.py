@@ -42,6 +42,66 @@ class ShadowContext:
 # Whole-frame fusion knob (A/B'd on hardware by scripts/dbg_frame.py).
 TAPS_BARRIER = True
 
+# Quantize packed tap tables to u16 pairs in u32 lanes: 4x smaller table
+# bytes and half the gather lanes.  The gather ROW RATE is table-size-bound
+# (memory/tpu-gather-cost-model), so shrinking the table is the main vis
+# lever left; the 1/65535 depth quantum is ~130x below the smallest shadow
+# bias in use (2e-3), so the lit-fraction change is confined to taps within
+# one quantum of the biased test depth.  A/B'd on hardware (dbg_vis2.py).
+TAPS_U16 = True
+
+
+def _quantize_q16(z):
+    """f32 [0,1] depth -> i32 [0, 65535] (round-to-nearest)."""
+    return jnp.clip(jnp.round(z * 65535.0), 0.0, 65535.0).astype(jnp.int32)
+
+
+def pack_taps_u16(taps):
+    """(R, L) f32 [0,1] window table -> (R, L/2) u32, 2 u16 taps per lane.
+
+    Lane i packs taps 2i (low half) and 2i+1 (high half).  L must be even
+    (it is for every stride/radius in use: win^2 with win = stride + 2r and
+    stride in {6, 8})."""
+    r, l = taps.shape
+    if l % 2:
+        raise ValueError("pack_taps_u16 needs an even lane count")
+    q = _quantize_q16(taps).astype(jnp.uint32)
+    return q[:, 0::2] | (q[:, 1::2] << 16)
+
+
+def pack_shadow_taps_u16(depth, radius: int, stride: int = 8):
+    """Quantize-at-source u16 window table: (S, S) f32 -> (R, win^2/2) u32.
+
+    Bit-identical to pack_taps_u16(pack_shadow_taps(depth, ...)) — window
+    assembly is pure data movement, so quantizing the (S, S) map FIRST
+    commutes with it — but assembles the windows at 2 bytes/texel instead
+    of 4 and skips the full-table requantize pass (the window table is
+    ~2.25x the map's texel count at stride 8/r 2)."""
+    q16 = _quantize_q16(depth).astype(jnp.uint16)
+    taps = pack_shadow_taps(q16, radius, stride)
+    if taps.shape[-1] % 2:
+        raise ValueError("pack_shadow_taps_u16 needs an even lane count")
+    q = taps.astype(jnp.uint32)
+    return q[:, 0::2] | (q[:, 1::2] << 16)
+
+
+def count_lit(window, z_test, mask):
+    """Masked count of window taps passing the depth test, dtype-dispatched.
+
+    window: gathered tap rows — (..., L) f32, or (..., L/2) u32 packed u16
+    pairs (pack_taps_u16); z_test: (...) f32 biased test depth; mask:
+    (..., L) f32 lane mask (broadcastable).  Returns (...) f32 counts.
+    """
+    if window.dtype == jnp.uint32:
+        q = _quantize_q16(z_test)[..., None]
+        lo = (window & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        hi = (window >> jnp.uint32(16)).astype(jnp.int32)
+        return (jnp.sum((q <= lo).astype(jnp.float32) * mask[..., 0::2], -1)
+                + jnp.sum((q <= hi).astype(jnp.float32) * mask[..., 1::2],
+                          -1))
+    return jnp.sum((z_test[..., None] <= window).astype(jnp.float32) * mask,
+                   -1)
+
 
 def pack_shadow_taps(depth, radius: int, stride: int = 8):
     """(S, S) -> ((S/stride)^2, (stride+2r)^2) strided anchor windows.
@@ -99,8 +159,12 @@ def make_shadow_context(
     pcf_step: int = 1,
     tap_stride: int = 8,
 ) -> ShadowContext:
-    taps = pack_shadow_taps(depth, pcf_radius, tap_stride) \
-        if (pcf_radius > 0 and pcf_step == 1) else None
+    if pcf_radius > 0 and pcf_step == 1:
+        taps = (pack_shadow_taps_u16(depth, pcf_radius, tap_stride)
+                if TAPS_U16
+                else pack_shadow_taps(depth, pcf_radius, tap_stride))
+    else:
+        taps = None
     if taps is not None and TAPS_BARRIER:
         # Force the window table to MATERIALIZE contiguously before any
         # consumer, so the visibility gather never reads a fused strided
@@ -182,8 +246,7 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
         lj = lane % win
         m = ((li >= ry) & (li <= ry + 2 * r)
              & (lj >= rx) & (lj <= rx + 2 * r)).astype(jnp.float32)
-        lit = jnp.sum((z_test[..., None] <= window).astype(jnp.float32) * m,
-                      -1)
+        lit = count_lit(window, z_test, m)
         vis = lit / float((2 * r + 1) ** 2)
     else:
         lit = jnp.zeros_like(z_test)

@@ -177,7 +177,7 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
                         vp_pad, sp_idx * per, per, 0)
                     taps_loc = _render_slot_stack(
                         geom, objects, vp_loc, size, caster_mask,
-                        True, 1)               # (per*na2, win^2)
+                        True, 2)               # (per*na2, win^2)
                     taps = lax.all_gather(taps_loc, "sp", axis=0,
                                           tiled=True)
                     na2 = (-(-size // _TAP_STRIDE)) ** 2
@@ -196,7 +196,9 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
                     bias_const=jnp.float32(2e-3),
                     bias_slope=jnp.float32(6e-3),
                     spot_size=local_map, point_size=local_point,
-                    pcf_radius=1, kinds=tuple(kinds),
+                    # Reference flagship samples locals at the sun's pcf
+                    # radius 2 (hello_rendering_paths.cpp:6397/:6650).
+                    pcf_radius=2, kinds=tuple(kinds),
                     base_slots=tuple(base_slots),
                 )
 
@@ -210,10 +212,13 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
                 geom.vtx_obj, geom.tri_obj, objects.model,
                 objects.normal_mat, light_vp, shadow_size, shadow_size,
                 cull_mode=CULL_NONE, obj_visible=caster_mask)
+            from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP
+
             sm_band, _, _ = rasterize_direct(
                 sm_setup, shadow_size, sm_band_h, jnp.float32(0.0),
                 jnp.float32(1.0), depth_mode=DEPTH_NDC01, track_ids=False,
-                y_offset=sp_idx * sm_band_h, full_height=shadow_size)
+                y_offset=sp_idx * sm_band_h, full_height=shadow_size,
+                spatial_sort=SORT_DEPTH_SETUP)
             sm_full = lax.all_gather(
                 sm_band, "sp", axis=0, tiled=True)       # (S, S) everywhere
             shadow_ctx = make_shadow_context(sm_full, light_vp,

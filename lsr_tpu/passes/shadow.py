@@ -49,7 +49,7 @@ def render_shadow_map(
     )
     one = jnp.float32(1.0)
     if use_tiled:
-        from lsr_tpu.raster.tiled import rasterize_direct
+        from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP, rasterize_direct
 
         depth, _, _ = rasterize_direct(
             setup, map_size, map_size, jnp.float32(0.0), one,
@@ -57,7 +57,7 @@ def render_shadow_map(
             # 128x128 tiles beat the 64x128 default for big square
             # depth-only targets (19.9 vs 23.7 ms at 2048^2, bit-exact;
             # scripts/dbg_shadowraster.py).
-            tile_h=128, tile_w=128,
+            tile_h=128, tile_w=128, spatial_sort=SORT_DEPTH_SETUP,
         )
     else:
         depth, _ = rasterize_brute(

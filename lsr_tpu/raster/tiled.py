@@ -231,6 +231,10 @@ def _raster_kernel(
 
 _SUPER = 256  # triangles per super-chunk
 
+# Shadow/depth-raster spatial-sort knob (A/B'd on hardware by
+# scripts/dbg_shadowraster.py; depth output is bit-exact either way).
+SORT_DEPTH_SETUP = False
+
 
 def _chunk_bboxes(setup: TriSetup, n_pad: int, chunk: int):
     """(n_pad/chunk, 4) f32 chunk bboxes (x0,y0,x1,y1); empty for invalid."""
@@ -295,6 +299,8 @@ def _direct_kernel(
     *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
     track_ids: bool = True,
     band_h: int = 0,
+    sub_rows: int = 4,
+    tie_tid: bool = False,
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
@@ -339,8 +345,10 @@ def _direct_kernel(
     # overlaps (small triangles waste ~tile_area/tri_area otherwise).
     # Each sub-block is a separate loop-carried buffer so the skip is a pure
     # scalar cond (no slicing/concat of carried vectors, which Mosaic
-    # handles poorly).
-    n_sub = 4 if (tile_h % 32 == 0) else 1
+    # handles poorly).  sub_rows is tunable per target (finer bands pay off
+    # on dense small-triangle depth targets once chunks are spatially
+    # sorted; A/B'd in scripts/dbg_local.py r3ab).
+    n_sub = sub_rows if (tile_h % (8 * sub_rows) == 0) else 1
     sub_h = tile_h // n_sub
 
     sub_px = []
@@ -388,9 +396,22 @@ def _direct_kernel(
             # Depth-only (shadow maps): pure min resolve, no winner id.
             return jnp.minimum(best, d_s), t_s
         isbest = cand == best[None]
-        win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
-        win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big), axis=0)
-        upd = best < d_s
+        if tie_tid:
+            # Order-independent resolve: min (depth, tid) lexicographic.
+            # Unsorted submission is tid-ascending, so its first-wins rule
+            # ALREADY picks the min tid among equal-depth candidates —
+            # this reproduces that exact result from any traversal order,
+            # which is what makes spatial_sort legal for id-tracked
+            # rasters.  (best==2.0 "no coverage" chunks can't tie: d_s
+            # starts at the 1.0 background and z01 is clipped to [0,1].)
+            win_tid = jnp.min(jnp.where(isbest, tidv, big), axis=0)
+            upd = (best < d_s) | ((best == d_s)
+                                  & (win_tid < t_s.astype(jnp.float32)))
+        else:
+            win_k = jnp.min(jnp.where(isbest, kids, big), axis=0)
+            win_tid = jnp.max(jnp.where(kids == win_k[None], tidv, -big),
+                              axis=0)
+            upd = best < d_s
         d_new = jnp.where(upd, best, d_s)
         t_new = jnp.where(upd, win_tid.astype(jnp.int32), t_s)
         return d_new, t_new
@@ -448,7 +469,8 @@ def _direct_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "depth_mode", "tile_h", "tile_w", "chunk",
-        "scap", "interpret", "track_ids", "band_h",
+        "scap", "interpret", "track_ids", "band_h", "spatial_sort",
+        "sub_rows",
     ),
 )
 def rasterize_direct(
@@ -473,11 +495,25 @@ def rasterize_direct(
     full_height: int | None = None,
     track_ids: bool = True,
     band_h: int = 0,
+    spatial_sort: bool = False,
+    sub_rows: int = 4,
 ):
     """Listless tiled rasterization.
 
     track_ids=False skips winner-id tracking (depth-only passes like shadow
     maps: ~25% fewer ops per triangle-pixel).
+
+    spatial_sort=True reorders setup rows by bbox-center tile before
+    chunking, so chunk/super bboxes are TIGHT and each (chunk, tile) pair
+    is evaluated far less often when the input triangle order is spatially
+    scattered.  Emitted tids still index the CALLER's setup rows.  Depth
+    output is bit-exact either way (pure min resolve), and tid too: sorted
+    rasters resolve exact z ties by MIN TID (lexicographic), which equals
+    the unsorted path's first-wins rule because unsorted submission is
+    tid-ascending.  (Only callers that pass a non-background tid_init AND
+    sort see a different tie rule: min tid instead of keep-initial.)  Not
+    supported with band_h (sorting would mix slots inside one chunk,
+    breaking the stacked-atlas slot invariant).
 
     Returns (depth01, tid, max_supers_per_tile) — if max_supers exceeds
     `scap`, super lists overflowed and scap must be raised.
@@ -499,7 +535,19 @@ def rasterize_direct(
     n = setup.coef.shape[0]
     n_pad = _cdiv(n, _SUPER) * _SUPER
 
-    tid_f = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.float32), -1.0)
+    if spatial_sort:
+        assert not band_h, "spatial_sort breaks stacked-band slot chunks"
+        cx = (setup.bbox[:, 0] + setup.bbox[:, 2]) // 2
+        cy = (setup.bbox[:, 1] + setup.bbox[:, 3]) // 2
+        key = (cy // tile_h) * jnp.int32(1 << 15) + (cx // tile_w)
+        key = jnp.where(setup.valid, key, jnp.int32(1 << 29))
+        order = jnp.argsort(key)
+        orig_id = jnp.arange(n, dtype=jnp.float32)[order]
+        setup = jax.tree_util.tree_map(lambda x: x[order], setup)
+        tid_f = jnp.where(setup.valid, orig_id, -1.0)
+    else:
+        tid_f = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.float32),
+                          -1.0)
     rec = jnp.concatenate(
         [setup.coef, setup.iw, setup.ziw, tid_f[:, None]], axis=-1
     )
@@ -535,7 +583,8 @@ def rasterize_direct(
         _direct_kernel,
         width=width, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
         depth_mode=depth_mode, tiles_x=tiles_x, scap=scap,
-        track_ids=track_ids, band_h=band_h,
+        track_ids=track_ids, band_h=band_h, sub_rows=sub_rows,
+        tie_tid=spatial_sort,
     )
     tile_block = lambda: pl.BlockSpec(  # noqa: E731
         (tile_h, tile_w), lambda i, j, c, s: (i, j), memory_space=pltpu.VMEM

@@ -292,6 +292,153 @@ def part_crop():
             print(f"  max|diff| vs full: {float(d):.2e}")
 
 
+def part_r3ab():
+    """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
+    (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
+    import dataclasses
+
+    import bench as bench_mod
+    from lsr_tpu.camera.light_camera import build_dir_light_camera
+    from lsr_tpu.lighting import local_shadows as ls
+    from lsr_tpu.lighting import shadow_sample as ss
+    from lsr_tpu.raster import tiled
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera, shadow_caster_aabb
+    from lsr_tpu.shading.models import _norm
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    spot_ids, point_ids = ls.plan_shadow_casters(lights)
+    caster = objects.casts_shadow & objects.visible
+
+    # --- (a) spatial sort: 8x1024 spot stack + 2048^2 sun map -----------
+    (kinds, base_slots, c_pos, c_rng, strengths, spot_vp, point_vp) = \
+        ls.plan_slot_stacks(lights, spot_ids, point_ids)
+    u16_was = ss.TAPS_U16
+    ss.TAPS_U16 = False            # isolate the raster change
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.scene.scene import object_world_aabbs
+
+    wmin, wmax = object_world_aabbs(objects)
+    size = 1024
+    one, zero = jnp.float32(1.0), jnp.float32(0.0)
+
+    def spot_stack(vps, sort, chunk, sub):
+        def rs(vp):
+            sm = caster & frustum_cull_objects(vp, wmin, wmax)
+            st = scene_setup(
+                geom.positions, geom.normals, geom.uvs, geom.indices,
+                geom.vtx_obj, geom.tri_obj, objects.model,
+                objects.normal_mat, vp, size, size, cull_mode=CULL_NONE,
+                obj_visible=sm)
+            d, _, _ = rasterize_direct(
+                st, size, size, zero, one, depth_mode=DEPTH_NDC01,
+                track_ids=False, tile_h=128, tile_w=128,
+                spatial_sort=sort, chunk=chunk, sub_rows=sub)
+            return d
+        return jax.lax.map(rs, vps)
+
+    outs = {}
+    for sort, chunk, sub in ((False, 16, 4), (True, 16, 4), (True, 8, 4),
+                             (True, 16, 8), (True, 8, 8), (False, 16, 8)):
+        f = jax.jit(lambda vp, a=sort, c=chunk, s=sub: spot_stack(
+            vp, a, c, s))
+        outs[(sort, chunk, sub)] = np.asarray(bench_fn(
+            f"spot depth 8x1024 sort={int(sort)} ck={chunk} sub={sub}",
+            f, spot_vp))
+    base = outs[(False, 16, 4)]
+    for k, v in outs.items():
+        if not (v == base).all():
+            print(f"  MISMATCH at {k}", flush=True)
+    ss.TAPS_U16 = u16_was
+
+    S = 2048
+    smin, smax = shadow_caster_aabb(objects)
+    _, _, light_vp = build_dir_light_camera(
+        smin, smax, jnp.asarray([0.35, -0.75, 0.45], jnp.float32), S)
+    sm_setup = jax.jit(lambda: scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        light_vp, S, S, cull_mode=CULL_NONE, obj_visible=caster))()
+    souts = {}
+    for sort, chunk, sub in ((False, 16, 4), (True, 16, 4), (True, 8, 8),
+                             (True, 16, 8)):
+        f = jax.jit(lambda s, so=sort, ck=chunk, sb=sub: rasterize_direct(
+            s, S, S, jnp.float32(0.0), jnp.float32(1.0),
+            depth_mode=DEPTH_NDC01, track_ids=False,
+            tile_h=128, tile_w=128, spatial_sort=so, chunk=ck,
+            sub_rows=sb)[0])
+        souts[(sort, chunk, sub)] = np.asarray(bench_fn(
+            f"sun raster 2048^2 sort={int(sort)} ck={chunk} sub={sub}",
+            f, sm_setup))
+    sbase = souts[(False, 16, 4)]
+    for k, v in souts.items():
+        if not (v == sbase).all():
+            print(f"  SUN MISMATCH at {k}", flush=True)
+
+    # --- (b) u16 taps: local vis stack + sun visibility -----------------
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+
+    # --- (a2) main-view raster sort (tie_tid makes tids bit-exact) ------
+    for sort in (True,):
+        f = jax.jit(lambda s, so=sort: rasterize_direct(
+            s, w, h, cam.zn, cam.zf, spatial_sort=so)[:2])
+        md, mt = bench_fn(f"main raster 1080p sort={int(sort)}", f, setup)
+        fb = jax.jit(lambda s: rasterize_direct(s, w, h, cam.zn,
+                                                cam.zf)[:2])
+        bd, bt = bench_fn("main raster 1080p sort=0", fb, setup)
+        if not (np.asarray(md) == np.asarray(bd)).all():
+            print("  MAIN DEPTH MISMATCH", flush=True)
+        if not (np.asarray(mt) == np.asarray(bt)).all():
+            print("  MAIN TID MISMATCH", flush=True)
+    gb = interpolate_gbuffer(setup, depth, tid)
+    wp, nm = gb.world_pos, _norm(gb.normal_ws)
+    crop = ls.default_vis_crop(h, w)
+
+    vouts = {}
+    for u16 in (False, True):
+        ss.TAPS_U16 = u16
+        fmaps = jax.jit(lambda: ls.render_local_shadow_maps.__wrapped__(
+            geom, objects, lights, spot_ids, point_ids,
+            # r=2 = the production flagship config (reference samples
+            # locals at the sun's radius 2, hello_rendering_paths.cpp:6397)
+            map_size=1024, point_size=512, pcf_radius=2, vis_crop=crop))
+        sh = fmaps()
+        bench_fn(f"atlas render+pack u16={int(u16)}", fmaps)
+        vouts[u16] = np.asarray(bench_fn(
+            f"local vis stack u16={int(u16)}",
+            jax.jit(lambda a, b, s=sh: ls.local_shadow_vis_stack(s, a, b)),
+            wp, nm))
+    d = np.abs(vouts[False] - vouts[True])
+    print(f"  vis stack u16 max|diff| {d.max():.3e} "
+          f"frac>1e-6 {(d > 1e-6).mean():.2e}", flush=True)
+
+    sun_depth = sbase
+    ndl = jnp.clip(jnp.sum(nm * _norm(
+        -jnp.asarray([0.35, -0.75, 0.45], jnp.float32))[None, None], -1),
+        0.0, 1.0)
+    uouts = {}
+    for u16 in (False, True):
+        ss.TAPS_U16 = u16
+        ctx_s = ss.make_shadow_context(jnp.asarray(sun_depth), light_vp,
+                                       pcf_radius=2)
+        uouts[u16] = np.asarray(bench_fn(
+            f"sun visibility u16={int(u16)}",
+            jax.jit(lambda a, b, c=ctx_s: ss.shadow_visibility_dir(c, a, b)),
+            wp, ndl))
+    d = np.abs(uouts[False] - uouts[True])
+    print(f"  sun vis u16 max|diff| {d.max():.3e} "
+          f"frac>1e-6 {(d > 1e-6).mean():.2e}", flush=True)
+    ss.TAPS_U16 = u16_was
+
+
 def part_cull():
     """A/B the per-frame scene-cull step's occluder raster kernel."""
     import bench as bench_mod
@@ -331,6 +478,8 @@ if __name__ == "__main__":
         part_crop()
     if which in ("cull",):
         part_cull()
+    if which in ("r3ab",):
+        part_r3ab()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):

@@ -1,0 +1,25 @@
+#!/bin/sh
+# Serial TPU work backlog for round 3 (single chip — never parallel):
+# crop A/B validation -> headline bench -> full protocol re-baseline ->
+# high-poly raster bench -> config table -> demo artifact regeneration ->
+# final warm bench.  Each step retries once (first cold compile after a
+# code change sometimes dies silently; the disk cache makes retries fast).
+set -x
+cd "$(dirname "$0")/.."
+
+run() { "$@" || { echo "RETRY: $*" >&2; sleep 90; "$@"; }; }
+
+run python scripts/dbg_local.py r3ab
+run python scripts/dbg_local.py crop
+run python bench.py
+run sh scripts/run_phases_all.sh
+run python scripts/bench_highpoly.py
+run python scripts/measure_configs.py
+for d in hello_rendering_paths hello_local_shadows hello_shadows \
+         hello_normal_mapping hello_ibl_skybox hello_shaders \
+         hello_wireframe hello_blinn_phong hello_full_pipeline \
+         hello_water; do
+    run python "demos/$d.py"
+done
+run python bench.py
+echo "TPU BACKLOG COMPLETE"

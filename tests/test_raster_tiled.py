@@ -99,6 +99,41 @@ def test_direct_matches_brute_monkey():
     np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_t), atol=1e-6)
 
 
+def test_direct_spatial_sort_depth_exact():
+    """spatial_sort reorders setup rows for tighter chunk bboxes; the
+    depth-only output (pure min resolve) must be bit-identical, and
+    emitted tids must still index the caller's (unsorted) setup rows."""
+    from lsr_tpu.raster.setup import DEPTH_NDC01
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    mesh = load_obj(MONKEY)
+    w, h = 160, 96
+    setup = _setup_for(mesh, np.asarray(m3.rotate_y(0.5)), w, h)
+    # Adversarial input order: interleave far-apart triangles.
+    n = setup.coef.shape[0]
+    perm = np.argsort(np.arange(n) % 7, kind="stable").astype(np.int32)
+    import jax
+
+    shuffled = jax.tree_util.tree_map(lambda x: x[jnp.asarray(perm)], setup)
+    kw = dict(depth_mode=DEPTH_NDC01, track_ids=False, tile_h=16)
+    d0, _, _ = rasterize_direct(shuffled, w, h, jnp.float32(0.0),
+                                jnp.float32(1.0), **kw)
+    d1, _, _ = rasterize_direct(shuffled, w, h, jnp.float32(0.0),
+                                jnp.float32(1.0), spatial_sort=True, **kw)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+    # With id tracking, coverage must agree and every winning tid must map
+    # back to the same screen triangle (ties aside: the monkey at this pose
+    # has none — assert exact).
+    df0, t0, _ = rasterize_direct(shuffled, w, h, jnp.float32(0.1),
+                                  jnp.float32(100.0), tile_h=16)
+    df1, t1, _ = rasterize_direct(shuffled, w, h, jnp.float32(0.1),
+                                  jnp.float32(100.0), tile_h=16,
+                                  spatial_sort=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(df0), np.asarray(df1))
+
+
 def test_direct_band_offset():
     from lsr_tpu.raster.tiled import rasterize_direct
 
@@ -174,3 +209,31 @@ def test_chunklist_depth_chaining():
     d_ref, _ = rasterize_brute(s_b, w, h, zn, zf, depth_init=d_ref_a)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), atol=1e-6)
     assert (np.asarray(t2) >= 0).sum() > 100
+
+
+def test_direct_spatial_sort_tid_ties_exact():
+    """Exact z ties: duplicating every setup row makes each covered pixel a
+    perfect depth tie between tid i and tid i+n.  The sorted raster resolves
+    ties by MIN TID (lexicographic), which must reproduce the unsorted
+    first-wins result bit-exactly — winners all come from the first copy."""
+    import jax
+
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    mesh = load_obj(MONKEY)
+    w, h = 160, 96
+    setup = _setup_for(mesh, np.asarray(m3.rotate_y(0.5)), w, h)
+    n = setup.coef.shape[0]
+    doubled = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x, x], axis=0), setup)
+    d0, t0, _ = rasterize_direct(doubled, w, h, jnp.float32(0.1),
+                                 jnp.float32(100.0), tile_h=16)
+    d1, t1, _ = rasterize_direct(doubled, w, h, jnp.float32(0.1),
+                                 jnp.float32(100.0), tile_h=16,
+                                 spatial_sort=True)
+    t0n, t1n = np.asarray(t0), np.asarray(t1)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(t0n, t1n)
+    covered = t0n >= 0
+    assert covered.any()
+    assert (t0n[covered] < n).all(), "tie must keep the lower tid copy"

@@ -179,16 +179,98 @@ def test_pcf_packed_path_odd_map_size():
     from lsr_tpu.lighting.shadow_sample import make_shadow_context, \
         shadow_visibility_dir
 
+    from lsr_tpu.lighting import shadow_sample as ss
+
     rng = np.random.default_rng(5)
-    for size, stride in ((300, 8), (130, 4), (257, 8)):
+    # Pin the u16 tap quantization off: this test proves the anchor-window
+    # GEOMETRY exact (quantization tolerance is covered separately by
+    # test_u16_taps_match_f32).
+    old = ss.TAPS_U16
+    ss.TAPS_U16 = False
+    try:
+        for size, stride in ((300, 8), (130, 4), (257, 8)):
+            depth = jnp.asarray(rng.random((size, size), np.float32))
+            vp = jnp.eye(4, dtype=jnp.float32)
+            packed = make_shadow_context(depth, vp, pcf_radius=2,
+                                         tap_stride=stride)
+            naive = dataclasses.replace(packed, depth_taps=None)
+            pts = jnp.asarray(
+                rng.uniform(-0.999, 0.999, (1, 256, 3)).astype(np.float32))
+            ndl = jnp.ones((1, 256), jnp.float32)
+            va = np.asarray(shadow_visibility_dir(packed, pts, ndl))
+            vb = np.asarray(shadow_visibility_dir(naive, pts, ndl))
+            np.testing.assert_array_equal(va, vb), (size, stride)
+    finally:
+        ss.TAPS_U16 = old
+
+
+def test_u16_taps_match_f32():
+    """The u32-packed u16 tap path (4x smaller tables, half the gather
+    lanes) must agree with the f32 packed path except at taps within one
+    u16 quantum (1/65535) of the biased test depth — far below the 2e-3
+    bias floor, so real scenes never straddle it systematically."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lsr_tpu.lighting import shadow_sample as ss
+
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(rng.random((256, 256), np.float32))
+    vp = jnp.eye(4, dtype=jnp.float32)
+    old = ss.TAPS_U16
+    try:
+        ss.TAPS_U16 = False
+        ctx_f32 = ss.make_shadow_context(depth, vp, pcf_radius=2)
+        ss.TAPS_U16 = True
+        ctx_u16 = ss.make_shadow_context(depth, vp, pcf_radius=2)
+    finally:
+        ss.TAPS_U16 = old
+    assert ctx_u16.depth_taps.dtype == jnp.uint32
+    assert ctx_u16.depth_taps.shape[-1] * 2 == ctx_f32.depth_taps.shape[-1]
+
+    pts = jnp.asarray(rng.uniform(-0.999, 0.999, (1, 2048, 3))
+                      .astype(np.float32))
+    ndl = jnp.asarray(rng.random((1, 2048), np.float32))
+    va = np.asarray(shadow_visibility_dir(ctx_u16, pts, ndl))
+    vb = np.asarray(shadow_visibility_dir(ctx_f32, pts, ndl))
+    # Each flipped tap moves the lit fraction by 1/25; with uniform random
+    # depths the flip probability per tap is ~2/65535, so whole-window
+    # divergence is impossible and per-pixel diffs stay tiny and rare.
+    diff = np.abs(va - vb)
+    assert diff.max() <= 2.0 / 25.0 + 1e-6, diff.max()
+    assert (diff > 1e-6).mean() < 0.01
+
+    # Hard-shadow (radius 0 via _pcf_from_rows) and the local-shadow
+    # consumer share count_lit; check the packer + counter directly against
+    # an f32 reference on one window table.
+    taps = ss.pack_shadow_taps(depth, 1, 6)
+    packed = ss.pack_taps_u16(taps)
+    z = jnp.asarray(rng.random((512,), np.float32))
+    rows = jnp.asarray(rng.integers(0, taps.shape[0], 512, endpoint=False))
+    mask = jnp.asarray(
+        rng.random((512, taps.shape[1]), np.float32) > 0.5, jnp.float32)
+    from lsr_tpu.core.gather import take_rows
+
+    c16 = np.asarray(ss.count_lit(take_rows(packed, rows), z, mask))
+    c32 = np.asarray(ss.count_lit(take_rows(taps, rows), z, mask))
+    assert np.abs(c16 - c32).max() <= 2.0
+
+
+def test_pack_shadow_taps_u16_quantize_at_source_identity():
+    """pack_shadow_taps_u16 (quantize the map first, assemble windows at
+    2 bytes/texel) must be BIT-identical to quantizing the assembled f32
+    table — window assembly is pure data movement, so the two commute."""
+    import jax.numpy as jnp
+
+    from lsr_tpu.lighting import shadow_sample as ss
+
+    rng = np.random.default_rng(11)
+    for size, radius, stride in ((256, 2, 8), (130, 1, 6), (300, 2, 6),
+                                 (256, 0, 8)):
         depth = jnp.asarray(rng.random((size, size), np.float32))
-        vp = jnp.eye(4, dtype=jnp.float32)
-        packed = make_shadow_context(depth, vp, pcf_radius=2,
-                                     tap_stride=stride)
-        naive = dataclasses.replace(packed, depth_taps=None)
-        pts = jnp.asarray(
-            rng.uniform(-0.999, 0.999, (1, 256, 3)).astype(np.float32))
-        ndl = jnp.ones((1, 256), jnp.float32)
-        va = np.asarray(shadow_visibility_dir(packed, pts, ndl))
-        vb = np.asarray(shadow_visibility_dir(naive, pts, ndl))
-        np.testing.assert_array_equal(va, vb), (size, stride)
+        a = np.asarray(ss.pack_shadow_taps_u16(depth, radius, stride))
+        b = np.asarray(ss.pack_taps_u16(
+            ss.pack_shadow_taps(depth, radius, stride)))
+        assert a.dtype == np.uint32 and (a == b).all(), (size, radius,
+                                                         stride)
