@@ -50,6 +50,7 @@ _HALF_PI = 1.5707963267948966
 def _resolve_kernel(
     counts_ref, z_ref, lrec_ref, in_ref, out_ref,
     *, chunk: int, tiles_x: int, sun_model: str, tile_h: int, tile_w: int,
+    rec_layout: str = "planes",
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
@@ -61,8 +62,16 @@ def _resolve_kernel(
     sx = (txi * tile_w) + col.astype(jnp.float32) + 0.5
     sy = (tyi * tile_h) + row.astype(jnp.float32) + 0.5
 
-    def r(c):
-        return in_ref[c]
+    if rec_layout == "planes":
+        def r(c):
+            return in_ref[c]
+    else:
+        # "lanes": the gather output arrives pixel-major (th, tw, 64) —
+        # NO XLA-side (H, W, 64) -> (64, H, W) transpose (the op that ate
+        # the round-2 fusion win, ARCHITECTURE.md §6 / VERDICT r2 #1a).
+        # Each plane extract is a VMEM-local lane select instead.
+        def r(c):
+            return in_ref[:, :, c]
 
     bc0 = r(0) * sx + r(1) * sy + r(2)
     bc1 = r(3) * sx + r(4) * sy + r(5)
@@ -361,7 +370,7 @@ def _resolve_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "cap", "chunk",
-                     "sun_model", "interpret"),
+                     "sun_model", "interpret", "rec_layout"),
 )
 def resolve_fused_pallas(
     rec,                 # (H, W, 56) gathered interp records (with materials)
@@ -376,8 +385,15 @@ def resolve_fused_pallas(
     tile_depth_range=None,
     sun_model: str = "pbr_mr",
     interpret: bool | None = None,
+    rec_layout: str = "planes",
 ):
-    """Fused interp+shade resolve.  Returns ((H, W, 3) hdr, bin_stats)."""
+    """Fused interp+shade resolve.  Returns ((H, W, 3) hdr, bin_stats).
+
+    rec_layout: "planes" feeds the kernel (64, H, W) plane-major blocks
+    (costs one XLA transpose of the ~500MB record stack per frame);
+    "lanes" feeds pixel-major (th, tw, 64) blocks and extracts planes
+    in-kernel (no transpose; lane selects instead) — same math, A/B'd on
+    hardware."""
     if interpret is None:
         interpret = default_interpret()
     tiles_x = _cdiv(width, tile_w)
@@ -407,7 +423,8 @@ def resolve_fused_pallas(
         padp(tex_albedo),
         jnp.zeros((ph, pw, 3), jnp.float32),
     ], axis=-1)                                   # (ph, pw, 64)
-    planes = jnp.transpose(planes, (2, 0, 1))     # (64, ph, pw)
+    if rec_layout == "planes":
+        planes = jnp.transpose(planes, (2, 0, 1))  # (64, ph, pw)
 
     sd = sun_dir_ws / jnp.maximum(jnp.linalg.norm(sun_dir_ws), 1e-8)
     zparams = jnp.zeros((1, 128), jnp.float32)
@@ -420,7 +437,13 @@ def resolve_fused_pallas(
 
     kern = functools.partial(
         _resolve_kernel, chunk=chunk, tiles_x=tiles_x, sun_model=sun_model,
-        tile_h=tile_h, tile_w=tile_w)
+        tile_h=tile_h, tile_w=tile_w, rec_layout=rec_layout)
+    rec_spec = (
+        pl.BlockSpec((64, tile_h, tile_w), lambda i, j, c: (0, i, j),
+                     memory_space=pltpu.VMEM)
+        if rec_layout == "planes"
+        else pl.BlockSpec((tile_h, tile_w, 64), lambda i, j, c: (i, j, 0),
+                          memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
@@ -429,8 +452,7 @@ def resolve_fused_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cap, 32), lambda i, j, c: (i * tiles_x + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, tile_h, tile_w), lambda i, j, c: (0, i, j),
-                         memory_space=pltpu.VMEM),
+            rec_spec,
         ],
         out_specs=pl.BlockSpec((8, tile_h, tile_w), lambda i, j, c: (0, i, j),
                                memory_space=pltpu.VMEM),

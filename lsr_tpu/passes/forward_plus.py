@@ -251,7 +251,7 @@ def shade_forward_plus(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "cap", "sun_model"),
+    static_argnames=("width", "height", "cap", "sun_model", "rec_layout"),
 )
 def resolve_forward_plus(
     setup,
@@ -268,6 +268,7 @@ def resolve_forward_plus(
     cap: int = 128,
     sun_model: str = "pbr_mr",
     background=(0.04, 0.06, 0.1),
+    rec_layout: str = "planes",
 ):
     """Fully-fused resolve path: visibility buffer -> lit HDR in ONE Pallas
     kernel (lighting/resolve_kernel.py) with no intermediate G-buffer.
@@ -334,6 +335,7 @@ def resolve_forward_plus(
         jnp.asarray(background, jnp.float32),
         lights, view, proj, width, height,
         tile_h=64, tile_w=128, cap=cap * 2, chunk=16, sun_model=sun_model,
+        rec_layout=rec_layout,
     )
     return hdr, {"max_lights_per_bin": bin_stats["max_count"],
                  "overflow_bins": bin_stats["overflow_bins"],

@@ -438,6 +438,37 @@ def part_r3ab():
           f"frac>1e-6 {(d > 1e-6).mean():.2e}", flush=True)
     ss.TAPS_U16 = u16_was
 
+    # --- (c) fused resolve: planes (XLA transpose) vs lanes (in-kernel
+    # extracts) vs the classic interp->shade production path -------------
+    import dataclasses as _dc
+
+    from lsr_tpu.passes.forward_plus import (
+        resolve_forward_plus, shade_forward_plus)
+    from lsr_tpu.passes.shadow import make_sun_shadow
+
+    sun_sh = make_sun_shadow(geom, objects,
+                             jnp.asarray([0.35, -0.75, 0.45], jnp.float32))
+    ctx_sh = _dc.replace(ctx, shadow=sun_sh)
+    router = {}
+    for layout in ("planes", "lanes"):
+        f = jax.jit(lambda s, d_, t_, lo=layout: resolve_forward_plus(
+            s, d_, t_, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+            w, h, cap=128, rec_layout=lo)[0])
+        router[layout] = np.asarray(bench_fn(
+            f"fused resolve 1080p {layout}", f, setup, depth, tid))
+    if not (router["planes"] == router["lanes"]).all():
+        dd = np.abs(router["planes"] - router["lanes"])
+        print(f"  RESOLVE LAYOUT DIFF max {dd.max():.3e}", flush=True)
+
+    def classic(s, d_, t_):
+        gbl = interpolate_gbuffer(s, d_, t_, materials=ctx_sh.materials)
+        return shade_forward_plus(
+            gbl, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+            w, h, tile_size=16, cap=128, mode="tiled")[0]
+
+    bench_fn("classic interp+shade 1080p", jax.jit(classic),
+             setup, depth, tid)
+
 
 def part_cull():
     """A/B the per-frame scene-cull step's occluder raster kernel."""

@@ -96,3 +96,23 @@ def test_resolve_matches_classic_path():
     assert d.mean() < 5e-3
     assert (d.max(-1) > 0.05).mean() < 0.01
     assert int(stats_b["max_lights_per_bin"]) >= 1
+
+
+def test_resolve_lanes_layout_matches_planes():
+    """rec_layout="lanes" (pixel-major blocks, in-kernel plane extracts, no
+    XLA transpose) must reproduce the planes-major path bit-exactly — the
+    kernel math is identical, only the VMEM feed differs."""
+    w, h = 256, 192
+    geom, objects, cam, ctx, lights = _scene(w, h)
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    outs = {}
+    for layout in ("planes", "lanes"):
+        hdr, _ = resolve_forward_plus(
+            setup, depth, tid, ctx, lights, cam.view, cam.proj, cam.zn,
+            cam.zf, w, h, cap=64, sun_model="pbr_mr", rec_layout=layout)
+        outs[layout] = np.asarray(jax.block_until_ready(hdr))
+    np.testing.assert_array_equal(outs["planes"], outs["lanes"])
