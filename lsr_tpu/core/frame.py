@@ -117,11 +117,12 @@ class LocalShadowParams:
                                # visibility planes (1 = per-pixel exact;
                                # 2 = half-res + bilinear upsample, a
                                # TPU perf knob documented in PARITY.md)
-    vis_crop: tuple = ()       # (ch, cw) static crop window for plane
-                               # evaluation — exact to 1 ULP (planes are
-                               # 1.0 outside the light's footprint; falls
-                               # back to full-screen when the footprint
-                               # exceeds the window)
+    vis_crop: tuple = ()       # static crop cascade for plane evaluation:
+                               # (ch, cw) or smallest-first
+                               # ((ch0,cw0),(ch1,cw1),...) — exact to 1 ULP
+                               # (planes are 1.0 outside the light's
+                               # footprint; each level falls through to the
+                               # next, then full-screen)
 
 
 @dataclasses.dataclass

@@ -120,8 +120,10 @@ class LocalShadowMaps:
     kinds: tuple = ()              # per shadowed light: SHADOW_SPOT_2D | CUBE
     base_slots: tuple = ()         # per shadowed light: base in its stack
     vis_scale: int = 1
-    vis_crop: tuple = ()           # (ch, cw) static crop for plane eval; ()
-                                   # = full-screen (exact either way)
+    vis_crop: tuple = ()           # static crop cascade for plane eval:
+                                   # (ch, cw) or ((ch0,cw0),(ch1,cw1),...)
+                                   # smallest-first; () = full-screen
+                                   # (exact either way)
 
     @property
     def n_shadowed(self) -> int:
@@ -134,16 +136,24 @@ class LocalShadowMaps:
 
 
 def default_vis_crop(height: int, width: int) -> tuple:
-    """A (5/8 h, 1/2 w) crop window rounded to TPU-friendly tile sizes
-    (sublane multiple of 8, lane multiple of 128).  Lights whose footprint
-    exceeds it fall back to full-screen evaluation per plane — and a
-    window that's too small is WORSE than none (measured: (256,512) slower
-    than full-screen at 1080p).  The 5/8 height covers the flagship
-    orbit's measured footprints (spot bboxes up to 652x897 at 1080p,
-    point range-spheres 535x558) with zero fallbacks."""
-    ch = min(height, -(-(height * 5 // 8) // 8) * 8)
-    cw = min(width, -(-(width // 2) // 128) * 128)
-    return (ch, cw)
+    """A two-level crop cascade rounded to TPU-friendly tile sizes
+    (sublane multiple of 8, lane multiple of 128).
+
+    Level 1 (the (5/8 h, 1/2 w) window) covers the flagship orbit's
+    measured footprints (spot bboxes up to 652x897 at 1080p, point
+    range-spheres 535x558) with zero full-screen fallbacks.  Level 0 is
+    half that area: point lights and near-axis spots fit it most frames,
+    halving their gather rows.  A too-small SINGLE window is worse than
+    none (measured: (256,512) alone slower than full-screen at 1080p
+    because every miss pays the full grid) — the cascade's miss instead
+    pays level 1."""
+    ch1 = min(height, -(-(height * 5 // 8) // 8) * 8)
+    cw1 = min(width, -(-(width // 2) // 128) * 128)
+    ch0 = min(height, -(-(height * 33 // 64) // 8) * 8)
+    cw0 = min(width, -(-(width // 3) // 128) * 128)
+    if (ch0, cw0) == (ch1, cw1):
+        return ((ch1, cw1),)
+    return ((ch0, cw0), (ch1, cw1))
 
 
 def plan_shadow_casters(lights: LightsSoA, max_spot: int = 8,
@@ -396,7 +406,7 @@ def render_local_shadow_maps(
         kinds=tuple(kinds),
         base_slots=tuple(base_slots),
         vis_scale=vis_scale,
-        vis_crop=tuple(vis_crop),
+        vis_crop=_crop_sizes(vis_crop),
     )
 
 
@@ -465,10 +475,21 @@ def _bias_ndl(sh, pos, world_pos, normal):
     return rel, rel_len, bias
 
 
-def _crop_origin(mask, ch: int, cw: int):
-    """Origin of a (ch, cw) crop covering every True pixel of mask, and
-    whether such a crop exists.  An empty mask "fits" anywhere (the crop
-    evaluates to all-ones, which is the correct plane)."""
+def _crop_sizes(vis_crop) -> tuple:
+    """Normalize a vis_crop spec to a cascade: () -> (); flat (ch, cw) ->
+    ((ch, cw),); a tuple of (ch, cw) pairs passes through (smallest
+    first)."""
+    if not vis_crop:
+        return ()
+    if isinstance(vis_crop[0], (tuple, list)):
+        return tuple(tuple(int(v) for v in s) for s in vis_crop)
+    return (tuple(int(v) for v in vis_crop),)
+
+
+def _crop_bounds(mask):
+    """Footprint bbox of mask (y0, y1, x0, x1) and whether it is non-empty.
+    An empty mask "fits" any crop (the plane is all-ones, which is the
+    correct result)."""
     h, w = mask.shape
     rows = jnp.any(mask, axis=1)
     cols = jnp.any(mask, axis=0)
@@ -476,16 +497,13 @@ def _crop_origin(mask, ch: int, cw: int):
     y1 = (h - 1) - jnp.argmax(rows[::-1]).astype(jnp.int32)
     x0 = jnp.argmax(cols).astype(jnp.int32)
     x1 = (w - 1) - jnp.argmax(cols[::-1]).astype(jnp.int32)
-    fits = ((y1 - y0 + 1 <= ch) & (x1 - x0 + 1 <= cw)) | ~jnp.any(rows)
-    y0c = jnp.clip(y0, 0, max(h - ch, 0))
-    x0c = jnp.clip(x0, 0, max(w - cw, 0))
-    return y0c, x0c, fits
+    return y0, y1, x0, x1, jnp.any(rows)
 
 
-def _cropped_plane(eval_fn, mask, world_pos, normal, ch: int, cw: int):
-    """Evaluate a shadow plane on a dynamically-positioned (ch, cw) crop
-    when the light's pixel footprint fits one (lax.cond falls back to the
-    full grid when it doesn't).
+def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes):
+    """Evaluate a shadow plane on the smallest of the static crop sizes
+    that covers the light's pixel footprint this frame (nested lax.cond;
+    full-grid fallback when none fits).
 
     Exact to 1 ULP: mask is the light's in-influence pixel set (or a
     conservative superset); outside it the plane is 1.0 by definition, and
@@ -493,21 +511,42 @@ def _cropped_plane(eval_fn, mask, world_pos, normal, ch: int, cw: int):
     reassociate fused reductions inside the cond branches, hence ULP not
     bit).  Spots cover 2-12%% of screen in the flagship scene, and gather
     cost is per-row — cropping is the difference between 2M and 0.5M
-    rows/plane."""
+    rows/plane; the cascade recovers the extra 2x for lights whose
+    footprint this frame fits a smaller window (a too-small SINGLE window
+    is worse than none: every miss pays the full grid)."""
     h, w = mask.shape
-    ch, cw = min(ch, h), min(cw, w)
-    if ch >= h and cw >= w:
+    sizes = [(min(ch, h), min(cw, w)) for ch, cw in sizes]
+    # Drop full-size/duplicate levels; keep ascending-area order.
+    seen = set()
+    lv = []
+    for s in sizes:
+        if s in seen or (s[0] >= h and s[1] >= w):
+            continue
+        seen.add(s)
+        lv.append(s)
+    if not lv:
         return eval_fn(world_pos, normal)
-    y0c, x0c, fits = _crop_origin(mask, ch, cw)
+    y0, y1, x0, x1, nonempty = _crop_bounds(mask)
 
-    def crop_branch(_):
-        wpc = jax.lax.dynamic_slice(world_pos, (y0c, x0c, 0), (ch, cw, 3))
-        nmc = jax.lax.dynamic_slice(normal, (y0c, x0c, 0), (ch, cw, 3))
-        return jax.lax.dynamic_update_slice(
-            jnp.ones((h, w), jnp.float32), eval_fn(wpc, nmc), (y0c, x0c))
+    def level(i):
+        if i == len(lv):
+            return lambda _: eval_fn(world_pos, normal)
+        ch, cw = lv[i]
+        fits = ((y1 - y0 + 1 <= ch) & (x1 - x0 + 1 <= cw)) | ~nonempty
+        y0c = jnp.clip(y0, 0, max(h - ch, 0))
+        x0c = jnp.clip(x0, 0, max(w - cw, 0))
 
-    return jax.lax.cond(fits, crop_branch,
-                        lambda _: eval_fn(world_pos, normal), 0)
+        def crop_branch(_):
+            wpc = jax.lax.dynamic_slice(world_pos, (y0c, x0c, 0),
+                                        (ch, cw, 3))
+            nmc = jax.lax.dynamic_slice(normal, (y0c, x0c, 0), (ch, cw, 3))
+            return jax.lax.dynamic_update_slice(
+                jnp.ones((h, w), jnp.float32), eval_fn(wpc, nmc),
+                (y0c, x0c))
+
+        return lambda _: jax.lax.cond(fits, crop_branch, level(i + 1), 0)
+
+    return level(0)(0)
 
 
 def _spot_in_map(sh: LocalShadowMaps, k: int, world_pos):
@@ -568,7 +607,7 @@ def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
         if sh.vis_crop:
             mask = _spot_in_map(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *sh.vis_crop))
+                                         *_crop_sizes(sh.vis_crop)))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)
@@ -643,7 +682,7 @@ def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
         if sh.vis_crop:
             mask = _point_in_reach(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *sh.vis_crop))
+                                         *_crop_sizes(sh.vis_crop)))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)

@@ -279,9 +279,14 @@ def part_crop():
         map_size=1024, point_size=512, pcf_radius=1))()
 
     ref = None
-    # (680, 1024) = default_vis_crop(1080, 1920): zero fallbacks over the
-    # bench orbit (measured footprints: spots <=652x897, points <=535x558).
-    for crop in ((), (680, 1024), (512, 1024)):
+    # (680, 1024) was the round-3 single default (zero fallbacks over the
+    # bench orbit; measured footprints: spots <=652x897, points <=535x558);
+    # default_vis_crop is now a 2-level cascade whose level 0 catches the
+    # point planes (and near-axis spot frames) at half the rows.
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    for crop in ((), (680, 1024), (512, 1024),
+                 default_vis_crop(h, w),
+                 ((560, 640), (680, 1024), (864, 1536))):
         s2 = dataclasses.replace(sh, vis_crop=crop)
         o = bench_fn(f"vis stack crop={crop or 'full'}", jax.jit(
             lambda a, b, s=s2: local_shadow_vis_stack(s, a, b)), wp, nm)

@@ -262,5 +262,9 @@ def test_vis_crop_bit_exact():
     full = stack(())
     cropped = stack((64, 128))
     np.testing.assert_allclose(cropped, full, atol=2e-7)
+    # Cascade: level 0 catches the tight spot, level 1 the point, the wide
+    # spot falls through to full-screen.  Same 1-ULP contract.
+    cascade = stack(((32, 128), (64, 128)))
+    np.testing.assert_allclose(cascade, full, atol=2e-7)
     # Sanity: the tight spot actually shadows something.
     assert (full[..., 0] < 0.99).any()
