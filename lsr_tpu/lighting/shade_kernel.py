@@ -40,7 +40,7 @@ _HALF_PI = 1.5707963267948966
 def _shade_kernel(
     counts_ref, z_ref, rec_ref, gb_ref, out_ref,
     *, chunk: int, tiles_x: int, sun_model: str, n_vis: int = 0,
-    slices: int = 0,
+    slices: int = 0, fastmath: tuple = (),
 ):
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
@@ -234,7 +234,10 @@ def _shade_kernel(
             * norm * norm
         fall = jnp.where(amodel == 0.0, norm,
                          jnp.where(amodel == 1.0, smooth, invsq))
-        fall = jnp.power(jnp.maximum(fall, 1e-9), apow)
+        if "apow1" not in fastmath:
+            # Measurement knob (dbg_shade): every scene-builder default is
+            # atten_power=1, where this transcendental is an identity.
+            fall = jnp.power(jnp.maximum(fall, 1e-9), apow)
         fall = jnp.where((acut > 0.0) & (fall < acut), 0.0, fall)
         atten = jnp.where(dist < rng, fall, 0.0) * jnp.maximum(shaping, 0.0)
 
@@ -263,7 +266,12 @@ def _shade_kernel(
         hll = jax.lax.rsqrt(jnp.maximum(hxl * hxl + hyl * hyl + hzl * hzl, 1e-16))
         lndh = jnp.maximum(nx[None] * (hxl * hll) + ny[None] * (hyl * hll)
                            + nz[None] * (hzl * hll), 0.0)
-        spec = spec_sc * jnp.power(jnp.maximum(lndh, 1e-9), spec_pw)
+        if "nospec_pow" in fastmath:
+            # Measurement-only (WRONG output): bounds the local-specular
+            # pow's share of kernel time.
+            spec = spec_sc * lndh
+        else:
+            spec = spec_sc * jnp.power(jnp.maximum(lndh, 1e-9), spec_pw)
 
         wd = gain * lndl
         ws = gain * spec
@@ -313,7 +321,7 @@ def _shade_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "cap", "chunk",
-                     "sun_model", "interpret", "slices"),
+                     "sun_model", "interpret", "slices", "fastmath"),
 )
 def shade_fused_pallas(
     gb_world_pos, gb_normal, gb_covered,
@@ -332,6 +340,7 @@ def shade_fused_pallas(
     slices: int = 0,
     zn=None,
     zf=None,
+    fastmath: tuple = (),
 ):
     """Sun + binned local lighting, fused.  Returns ((H,W,3) lit, bin_stats).
 
@@ -349,6 +358,11 @@ def shade_fused_pallas(
     the kernel walks each slice's list with its own trip count, and pixels
     take only their own slice's lights (view_depth_to_cluster_slice
     semantics) — the clustered-forward preset at kernel speed.
+
+    fastmath: measurement knobs for dbg_shade ("apow1" skips the
+    attenuation pow — identity when every light has atten_power=1;
+    "nospec_pow" replaces the local specular pow with a mul, WRONG output,
+    cost-bounding only).  Production callers leave it ().
     """
     if interpret is None:
         interpret = default_interpret()
@@ -415,7 +429,8 @@ def shade_fused_pallas(
     zparams = zparams.at[0, 6:9].set(sun_radiance.astype(jnp.float32))
 
     kern = functools.partial(_shade_kernel, chunk=chunk, tiles_x=tiles_x,
-                             sun_model=sun_model, n_vis=n_vis, slices=slices)
+                             sun_model=sun_model, n_vis=n_vis, slices=slices,
+                             fastmath=fastmath)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),

@@ -1,8 +1,10 @@
-"""A/B the fused shade kernel configs on the bench workload (one process)."""
+"""A/B the fused shade kernel configs on the bench workload (one process).
+
+Timing uses the slope method (tpu_timing.bench_fn) — block_until_ready
+does not wait on the tunnel backend."""
 
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -11,19 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_timing import bench_fn  # noqa: E402
 
-def timeit(name, fn, *args, iters=10):
-    out = jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters * 1000)
-    print(f"{name:52s} {min(times):8.2f} ms  (runs: "
-          + " ".join(f"{t:.1f}" for t in times) + ")", flush=True)
-    return out
+timeit = bench_fn
 
 
 def main():
@@ -71,7 +63,7 @@ def main():
               f"max={int(st['max_count'])} | depth-range "
               f"sum={int(counts2.sum())} max={int(st2['max_count'])}")
 
-    def run(tile_h, chunk, use_tdr):
+    def run(tile_h, chunk, use_tdr, fastmath=()):
         tdr = None
         if use_tdr:
             tdr = tile_depth_ranges_from_buffer(
@@ -82,19 +74,36 @@ def main():
             ctx.light_color * ctx.light_intensity,
             lights, cam.view, cam.proj, w, h,
             tile_h=tile_h, tile_w=128, cap=256, chunk=chunk,
-            tile_depth_range=tdr, sun_model="pbr_mr")
+            tile_depth_range=tdr, sun_model="pbr_mr", fastmath=fastmath)
         return lit
 
-    for tile_h in (64, 32):
-        for chunk in (16,):
+    outs = {}
+    for tile_h in (128, 64, 32):
+        for chunk in (8, 16, 32):
             for use_tdr in (False, True):
-                name = f"shade th={tile_h} chunk={chunk} tdr={use_tdr}"
+                name = f"shade th={tile_h} chunk={chunk} tdr={int(use_tdr)}"
                 try:
-                    timeit(name, jax.jit(
+                    outs[(tile_h, chunk, use_tdr)] = timeit(name, jax.jit(
                         lambda tile_h=tile_h, chunk=chunk, use_tdr=use_tdr:
                         run(tile_h, chunk, use_tdr)))
                 except Exception as e:
                     print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
+    base = outs.get((64, 16, True))
+    for k, v in outs.items():
+        if base is not None and v is not None \
+                and not np.array_equal(np.asarray(v), np.asarray(base)):
+            d = np.abs(np.asarray(v) - np.asarray(base)).max()
+            print(f"  config {k} differs from (64,16,True): max|d|={d:.2e}")
+
+    # Transcendental cost probes (production tile config): apow1 should be
+    # ~exact on the bench scene (every atten_power is 1.0); nospec_pow is
+    # WRONG output, cost bound only.
+    for fm in (("apow1",), ("nospec_pow",), ("apow1", "nospec_pow")):
+        o = timeit(f"shade th=64 ck=16 tdr=1 fast={'+'.join(fm)}", jax.jit(
+            lambda fm=fm: run(64, 16, True, fastmath=fm)))
+        if base is not None:
+            d = np.abs(np.asarray(o) - np.asarray(base)).max()
+            print(f"  fast={'+'.join(fm)}: max|diff| vs base {d:.3e}")
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ run() { "$@" || { echo "RETRY: $*" >&2; sleep 90; "$@"; }; }
 
 run python scripts/dbg_local.py r3ab
 run python scripts/dbg_local.py crop
+run python scripts/dbg_shade.py
 run python bench.py
 run sh scripts/run_phases_all.sh
 run python scripts/bench_highpoly.py
@@ -18,7 +19,7 @@ run python scripts/measure_configs.py
 for d in hello_rendering_paths hello_local_shadows hello_shadows \
          hello_normal_mapping hello_ibl_skybox hello_shaders \
          hello_wireframe hello_blinn_phong hello_full_pipeline \
-         hello_water; do
+         hello_water hello_pixel_primitives hello_shading_models; do
     run python "demos/$d.py"
 done
 run python bench.py
