@@ -297,6 +297,36 @@ def part_crop():
             print(f"  max|diff| vs full: {float(d):.2e}")
 
 
+def part_frame():
+    """Whole-frame in-process A/B of the vis_crop cascade (stage wins can
+    vanish at frame level — measure the honest flagship frame)."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+
+    variants = {
+        "single(680,1024)": ((680, 1024),),
+        "cascade-default": default_vis_crop(h, w),
+    }
+    fns = {}
+    for name, crop in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, vis_crop=crop)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    outs = {}
+    for rnd in range(2):  # interleaved rounds
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
+                                  cam, ctx)
+    a, b = (np.asarray(outs[k]) for k in variants)
+    print("  outputs equal:", bool((a == b).all()),
+          "max|d|:", float(np.abs(a.astype(int) - b.astype(int)).max()))
+
+
 def part_r3ab():
     """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
     (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
@@ -512,6 +542,8 @@ if __name__ == "__main__":
         part_pack()
     if which in ("crop",):
         part_crop()
+    if which in ("frame",):
+        part_frame()
     if which in ("cull",):
         part_cull()
     if which in ("r3ab",):

@@ -11,6 +11,7 @@ run() { "$@" || { echo "RETRY: $*" >&2; sleep 90; "$@"; }; }
 
 run python scripts/dbg_local.py r3ab
 run python scripts/dbg_local.py crop
+run python scripts/dbg_local.py frame
 run python scripts/dbg_shade.py
 run python bench.py
 run sh scripts/run_phases_all.sh
