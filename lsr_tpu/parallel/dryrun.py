@@ -207,6 +207,39 @@ def run_flagship_dryrun(n_devices: int) -> None:
               f"(cull + sp-sharded local atlas all_gather + sun shadow "
               f"all_gather + fxaa ppermute halos, all {dp} dp "
               f"slices bit-exact), {ms:.1f} ms/step")
+    # --- light-parallel ("lp") axis: psum partial light sums over ICI ----
+    from lsr_tpu.parallel.sharding import (
+        make_light_sharded_forward, make_mesh_lp)
+
+    cam0 = cams_for(1)[0]
+
+    def run_lp(mesh):
+        step, _ = make_light_sharded_forward(
+            mesh, geom, objects, ctx, lights, width, height, cap=32)
+        out = jax.block_until_ready(step(
+            cam0.viewproj, cam0.view, cam0.proj, cam0.zn, cam0.zf))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = step(cam0.viewproj, cam0.view, cam0.proj, cam0.zn, cam0.zf)
+        jax.block_until_ready(out)
+        return np.asarray(out), (time.perf_counter() - t0) / 3 * 1000
+
+    ref_lp, _ = run_lp(make_mesh_lp(1, sp=1, lp=1))
+    for sp_n, lp_n in (((n_devices // 2), 2), (1, n_devices)):
+        if sp_n * lp_n != n_devices or height % max(sp_n, 1):
+            continue
+        out_lp, ms_lp = run_lp(make_mesh_lp(n_devices, sp=sp_n, lp=lp_n))
+        d = np.abs(out_lp.astype(int) - ref_lp.astype(int))
+        assert d.max() <= 1, (
+            f"lp={lp_n} psum reassociation exceeded 1 LSB: {d.max()}")
+        rows.append({"phase": "multichip", "run_id": run_id, "dp": 1,
+                     "sp": sp_n, "lp": lp_n, "w": width, "h": height,
+                     "step_ms": round(ms_lp, 2),
+                     "platform": jax.devices()[0].platform})
+        print(f"light-parallel dryrun ok: sp={sp_n} lp={lp_n} "
+              f"(partial light sums psum over lp, <=1 LSB vs 1-device), "
+              f"{ms_lp:.1f} ms/step")
+
     try:
         path = "artifacts/multichip_scaling.jsonl"
         import os as _os

@@ -18,6 +18,8 @@ Both compose: mesh ("dp", "sp").
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -360,3 +362,136 @@ def make_sharded_render(mesh: Mesh, geom, objects, shade_ctx,
     in_sharding = (NamedSharding(mesh, P("dp")), None, None)
     out_sharding = NamedSharding(mesh, P("dp", "sp"))
     return jax.jit(step, in_shardings=in_sharding, out_shardings=out_sharding)
+
+
+def make_mesh_lp(n_devices: int, sp: int | None = None,
+                 lp: int | None = None, devices=None) -> Mesh:
+    """Build a ("sp", "lp") mesh: framebuffer row bands x light shards.
+
+    The lp axis is the renderer's analog of tensor/expert parallelism:
+    each shard owns L/lp of the light set and the partial light
+    accumulation reduces over ICI with one psum (SURVEY.md section 2.3
+    multi-chip row)."""
+    if devices is None:
+        devices = jax.devices()[:n_devices]
+    if lp is None:
+        lp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    if sp is None:
+        sp = n_devices // lp
+    if len(devices) < sp * lp:
+        raise ValueError(
+            f"make_mesh_lp needs {sp * lp} devices (sp={sp} x lp={lp}) but "
+            f"only {len(devices)} are visible.")
+    arr = np.asarray(devices[: sp * lp]).reshape(sp, lp)
+    return Mesh(arr, axis_names=("sp", "lp"))
+
+
+def make_light_sharded_forward(mesh: Mesh, geom, objects, shade_ctx, lights,
+                               width: int, height: int,
+                               tile_size: int = 16, cap: int = 128,
+                               sun_model: str = "blinn_phong",
+                               background=(0.04, 0.06, 0.1)):
+    """Forward+ frame with LIGHTS sharded over the "lp" mesh axis.
+
+    Each (sp, lp) device rasterizes its row band (replicated geometry),
+    bins and accumulates only its L/lp light slice, then the partial
+    (diffuse, specular) sums reduce with `lax.psum` over "lp" — the
+    light-set analog of tensor-parallel partial-sum reduction.  The sun +
+    ambient term is computed identically on every lp shard (cheap and
+    keeps the psum to the two local-light planes).
+
+    Equal to the unsharded frame up to float reassociation of the light
+    sum (psum reorders the per-light adds): NOT bit-exact, validated to
+    atol ~1e-5 in tests/dryrun.  Overflow semantics: each shard's per-tile
+    cap applies to its own slice, so a frame that overflows unsharded bins
+    may KEEP more lights sharded (caps sized for no overflow see no
+    difference).
+
+    Input: viewproj (4,4), view (4,4), proj (4,4), zn, zf.
+    Output: (height, width, 3) u8, row bands sharded over "sp".
+    """
+    from jax import lax
+
+    from lsr_tpu.lighting.light_culling import cull_lights_tiled
+    from lsr_tpu.lighting.light_runtime import accumulate_local_lights
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.shading.common import gather_materials
+    from lsr_tpu.shading.models import _norm  # noqa: F401 (parity import)
+
+    sp = mesh.shape["sp"]
+    lp = mesh.shape["lp"]
+    n_lights = int(lights.type.shape[0])
+    assert height % sp == 0 and (height // sp) % tile_size == 0, (
+        "height must split into sp bands of whole light tiles")
+    if n_lights % lp:
+        # Pad to a multiple of lp with DISABLED lights (binned away).
+        pad = lp - n_lights % lp
+        lights = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), lights)
+        lights = dataclasses.replace(
+            lights, enabled=lights.enabled.at[n_lights:].set(False),
+            range=lights.range.at[n_lights:].set(1e-3))
+    band_h = height // sp
+    tiles_x = -(-width // tile_size)
+    band_tiles_y = band_h // tile_size
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(viewproj, view, proj, zn, zf):
+        def shard_fn(lights_local):
+            sp_idx = jax.lax.axis_index("sp")
+            y0 = sp_idx * band_h
+
+            setup = scene_setup(
+                geom.positions, geom.normals, geom.uvs, geom.indices,
+                geom.vtx_obj, geom.tri_obj, objects.model,
+                objects.normal_mat, viewproj, width, height,
+                obj_visible=objects.visible)
+            depth, tid, _ = rasterize_direct(
+                setup, width, band_h, zn, zf,
+                y_offset=y0, full_height=height)
+            gb = interpolate_gbuffer(setup, depth, tid, y_offset=y0,
+                                     materials=shade_ctx.materials)
+
+            # Sun + ambient: identical on every lp shard (no reduction).
+            base = SHADING_MODELS[sun_model](gb, shade_ctx)
+
+            # Local lights: bin MY slice over the full tile grid (same
+            # culling math as unsharded), slice my band's rows, accumulate,
+            # then one psum over "lp" merges the partial sums (ICI).
+            lists, counts, _ = cull_lights_tiled(
+                lights_local, view, proj, width, height,
+                tile_size=tile_size, cap=cap)
+            band_lists = jax.lax.dynamic_slice_in_dim(
+                lists.reshape(-1, tiles_x, lists.shape[-1]),
+                sp_idx * band_tiles_y, band_tiles_y, axis=0)
+            band_lists = band_lists.reshape(band_tiles_y * tiles_x, -1)
+            diff, spec = accumulate_local_lights(
+                gb.world_pos, gb.normal_ws, shade_ctx.camera_pos,
+                lights_local, band_lists, width, band_h,
+                tile_size=tile_size)
+            diff, spec = lax.psum((diff, spec), "lp")
+
+            albedo, _, _, _, _, _ = gather_materials(
+                shade_ctx.materials, gb.obj_id, mat_rec=gb.mat)
+            hdr = base + jnp.maximum(albedo, 0.0) * diff + spec
+            bg = jnp.broadcast_to(
+                jnp.asarray(background, jnp.float32), hdr.shape)
+            hdr = composite_over_background(hdr, gb, bg)
+            return tonemap_pass(hdr)
+
+        out = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("lp"),),
+            out_specs=P("sp"),
+            check_vma=False,
+        )(lights)
+        return out
+
+    lights_sharding = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("lp")), lights)
+    return jax.jit(step), lights_sharding

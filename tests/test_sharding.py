@@ -108,3 +108,52 @@ def test_sharded_flagship_bit_exact():
     assert out.shape[1:] == ref.shape[1:]
     np.testing.assert_array_equal(out[0], ref[0])
     assert out[0].any(), "empty flagship frame"
+
+
+def test_light_sharded_forward():
+    """Lights sharded over "lp" (partial-sum psum over ICI) must match the
+    (sp=1, lp=1) frame up to float reassociation of the light sum (u8
+    off-by-one at most after tonemap quantization)."""
+    import jax.numpy as jnp
+
+    from lsr_tpu.io.obj import make_plane
+    from lsr_tpu.lighting.light_types import LightSetBuilder
+    from lsr_tpu.parallel.sharding import (
+        make_light_sharded_forward, make_mesh_lp)
+
+    b = SceneBuilder()
+    b.add(make_cube(1.1),
+          np.asarray(m3.translate([0, 0.3, 0]) @ m3.rotate_y(0.4)))
+    b.add(make_plane(5.0, y=-1.0), material=0, casts_shadow=False)
+    geom, objects = b.build()
+    mats = make_materials(base_color=[(0.8, 0.5, 0.3)])
+    ctx = make_shade_context(mats, light_dir_ws=(0.35, -0.7, 0.5),
+                             camera_pos=(0.5, 1.8, -3.5), light_intensity=2.0)
+    lb = LightSetBuilder()
+    rng = np.random.default_rng(3)
+    for _ in range(16):
+        lb.point(tuple(rng.uniform([-2, 0.2, -2], [2, 1.5, 2]).tolist()),
+                 intensity=1.5, range=2.5)
+    lights = lb.build()
+
+    w = h = 128
+    cam = make_camera(w, h, (0.5, 1.8, -3.5), (0, 0, 0))
+
+    def run(mesh):
+        step, _ = make_light_sharded_forward(
+            mesh, geom, objects, ctx, lights, w, h, cap=32)
+        return np.asarray(step(cam.viewproj, cam.view, cam.proj,
+                               cam.zn, cam.zf))
+
+    ref = run(make_mesh_lp(1, sp=1, lp=1))
+    out = run(make_mesh_lp(8, sp=4, lp=2))
+    assert out.shape == ref.shape == (h, w, 3)
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, f"lp reassociation exceeded 1 LSB: {d.max()}"
+    assert (d != 0).mean() < 0.02, f"too many off-by-one px: {(d != 0).mean()}"
+    assert out.any(), "empty frame"
+
+    # And a pure-lp split (sp=1, lp=8): partial sums only.
+    out2 = run(make_mesh_lp(8, sp=1, lp=8))
+    d2 = np.abs(out2.astype(int) - ref.astype(int))
+    assert d2.max() <= 1
