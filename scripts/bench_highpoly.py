@@ -16,6 +16,7 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -72,8 +73,18 @@ def main():
     print(f"  valid after clip/cull: {n_valid}")
 
     results = {}
+    # Size the per-tile list cap from the ACTUAL max bin count (a cap
+    # overflow silently drops triangles and corrupts both the image and
+    # the comparison).
+    cap = 512
+    _, _, max_bin = jax.jit(lambda s: rasterize_tiled(
+        s, w, h, cam.zn, cam.zf, cap=512))(setup)
+    max_bin = int(np.asarray(max_bin))
+    if max_bin > cap:
+        cap = -(-max_bin // 256) * 256
+    print(f"  binned max_bin: {max_bin} -> cap {cap}")
     f_binned = jax.jit(lambda s: rasterize_tiled(
-        s, w, h, cam.zn, cam.zf)[:2])
+        s, w, h, cam.zn, cam.zf, cap=cap)[:2])
     d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
     results["binned"] = bench_fn.last_ms
 
@@ -83,7 +94,11 @@ def main():
     results["chunklist"] = bench_fn.last_ms
     print(f"  chunklist max_chunks_per_tile: {int(np.asarray(max_cnt))}")
     mism = int(np.asarray(jnp.sum(t_b != t_c)))
-    print(f"  chunklist vs binned tid mismatches: {mism}")
+    dmax = float(np.abs(np.asarray(d_b) - np.asarray(d_c)).max())
+    # Depth may differ at ULP level (different loop structure -> different
+    # XLA fma contraction); winners (tids) must match exactly.
+    print(f"  chunklist vs binned: tid mismatches {mism}, "
+          f"max|depth diff| {dmax:.2e}")
 
     # The direct kernel keeps the packed setup in HBM (per-super DMA), so
     # its 150K routing cap may be stale — measure it at scale too.
@@ -93,7 +108,9 @@ def main():
     results["direct"] = bench_fn.last_ms
     print(f"  direct max_supers_per_tile: {int(np.asarray(max_sup))}")
     mism_d = int(np.asarray(jnp.sum(t_b != t_d)))
-    print(f"  direct vs binned tid mismatches: {mism_d}")
+    dmax_d = float(np.abs(np.asarray(d_b) - np.asarray(d_d)).max())
+    print(f"  direct vs binned: tid mismatches {mism_d}, "
+          f"max|depth diff| {dmax_d:.2e}")
 
     best = min(results.values())
     total = setup_ms + best
