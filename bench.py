@@ -98,7 +98,8 @@ def build_scene():
 def make_flagship_frame(geom, objects, lights, ctx, width, height,
                         shadow_size=2048, local_map=1024, local_point=512,
                         with_local=True, with_cull=True, vis_scale=1,
-                        vis_crop=(), cap=2048):
+                        vis_crop=(), cap=2048, use_resolve=None,
+                        resolve_layout=None):
     """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
     structure): per-frame cull -> sun + local shadow atlas -> raster ->
     forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
@@ -127,6 +128,10 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
     shadow_params = ShadowPassParams(map_size=shadow_size, pcf_radius=2)
     spot_ids, point_ids = plan_shadow_casters(lights) if with_local \
         else ((), ())
+    if use_resolve is None:
+        use_resolve = os.environ.get("LSR_BENCH_RESOLVE", "0") == "1"
+    if resolve_layout is None:
+        resolve_layout = os.environ.get("LSR_BENCH_RESOLVE_LAYOUT", "lanes")
 
     def frame(cam, ctx_t):
         # Full flagship composition (hello_rendering_paths.cpp:8360 frame):
@@ -177,13 +182,15 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         depth, tid, max_bin = rasterize_direct(
             setup, width, height, cam.zn, cam.zf
         )
-        if os.environ.get("LSR_BENCH_RESOLVE", "0") == "1" and local_sh is None:
-            # Fully-fused resolve: interp + sun + lights + ambient in ONE
-            # Pallas kernel; no intermediate G-buffer.
+        if use_resolve:
+            # Fully-fused resolve: interp + sun + lights (+ local shadow
+            # planes) + ambient in ONE Pallas kernel; no intermediate
+            # G-buffer.  LSR_BENCH_RESOLVE=1 / _LAYOUT pick this from env.
             hdr, stats = resolve_forward_plus(
                 setup, depth, tid, ctx_sh, lights, cam.view, cam.proj,
                 cam.zn, cam.zf, width, height, cap=128,
-                sun_model="pbr_mr",
+                sun_model="pbr_mr", local_shadows=local_sh,
+                rec_layout=resolve_layout,
             )
         else:
             gb = interpolate_gbuffer(setup, depth, tid,

@@ -703,6 +703,34 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
     When sh.vis_scale > 1, planes are evaluated on a vis_scale-strided
     pixel grid and bilinearly upsampled (perf knob; PARITY.md).
     """
+    planes = _vis_planes_list(sh, world_pos, normal)
+    stack = jnp.stack(planes, axis=-1)
+    sc = max(1, int(sh.vis_scale))
+    if sc > 1:
+        stack = jax.image.resize(
+            stack, world_pos.shape[:-1] + (stack.shape[-1],), "bilinear")
+    return stack
+
+
+def local_shadow_vis_planes(sh: LocalShadowMaps, world_pos, normal):
+    """Plane-major variant of local_shadow_vis_stack: (K+1, H, W).
+
+    The fused resolve kernel consumes visibility planes as leading-axis
+    VMEM blocks; stacking on axis 0 here avoids the (H, W, K+1) ->
+    (K+1, H, W) transpose a channel-last stack would cost (the round-2
+    lesson from the record planes, ARCHITECTURE.md section 6)."""
+    planes = _vis_planes_list(sh, world_pos, normal)
+    stack = jnp.stack(planes, axis=0)
+    sc = max(1, int(sh.vis_scale))
+    if sc > 1:
+        stack = jax.image.resize(
+            stack, (stack.shape[0],) + world_pos.shape[:-1], "bilinear")
+    return stack
+
+
+def _vis_planes_list(sh: LocalShadowMaps, world_pos, normal):
+    """Shared body of the vis-stack builders: K+1 (H', W') planes at the
+    vis_scale-strided grid resolution."""
     sc = max(1, int(sh.vis_scale))
     wp, nm = world_pos, normal
     if sc > 1:
@@ -724,8 +752,4 @@ def local_shadow_vis_stack(sh: LocalShadowMaps, world_pos, normal):
             parts[k] = pp[i]
     planes = [parts[k] for k in range(sh.n_shadowed)]
     planes.append(jnp.ones(wp.shape[:-1], jnp.float32))
-    stack = jnp.stack(planes, axis=-1)
-    if sc > 1:
-        stack = jax.image.resize(
-            stack, world_pos.shape[:-1] + (stack.shape[-1],), "bilinear")
-    return stack
+    return planes

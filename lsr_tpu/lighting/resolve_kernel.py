@@ -48,10 +48,15 @@ _HALF_PI = 1.5707963267948966
 
 
 def _resolve_kernel(
-    counts_ref, z_ref, lrec_ref, in_ref, out_ref,
-    *, chunk: int, tiles_x: int, sun_model: str, tile_h: int, tile_w: int,
-    rec_layout: str = "planes",
+    counts_ref, z_ref, lrec_ref, in_ref, *rest,
+    chunk: int, tiles_x: int, sun_model: str, tile_h: int, tile_w: int,
+    rec_layout: str = "planes", n_vis: int = 0,
 ):
+    if n_vis:
+        vis_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        vis_ref = None
     tyi = pl.program_id(0)
     txi = pl.program_id(1)
     count = counts_ref[tyi * tiles_x + txi]
@@ -292,6 +297,15 @@ def _resolve_kernel(
         lndl = jnp.maximum(nx[None] * llx + ny[None] * lly + nz[None] * llz, 0.0)
         live = (dist > 1e-4) & (lndl > 0.0) & (atten > 0.0) & covered[None]
         gain = jnp.where(live, intensity * atten, 0.0)
+        if n_vis:
+            # Local shadow maps (same one-hot plane select as
+            # _shade_kernel; record lane 28 = the light's plane index,
+            # plane n_vis-1 constant 1.0 for unshadowed lights).
+            sidx = f(28)
+            lvis = zero[None]
+            for k in range(n_vis):
+                lvis = lvis + jnp.where(sidx == float(k), vis_ref[k], 0.0)
+            gain = gain * lvis
 
         hxl = llx + vx[None]
         hyl = lly + vy[None]
@@ -386,6 +400,8 @@ def resolve_fused_pallas(
     sun_model: str = "pbr_mr",
     interpret: bool | None = None,
     rec_layout: str = "planes",
+    local_vis_planes=None,
+    light_shadow_index=None,
 ):
     """Fused interp+shade resolve.  Returns ((H, W, 3) hdr, bin_stats).
 
@@ -393,7 +409,12 @@ def resolve_fused_pallas(
     (costs one XLA transpose of the ~500MB record stack per frame);
     "lanes" feeds pixel-major (th, tw, 64) blocks and extracts planes
     in-kernel (no transpose; lane selects instead) — same math, A/B'd on
-    hardware."""
+    hardware.
+
+    local_vis_planes: optional (K+1, H, W) PLANE-MAJOR local-shadow
+    visibility (lighting/local_shadows.local_shadow_vis_planes; plane K
+    must be constant 1.0); light_shadow_index: (L,) i32 plane per light —
+    wires local shadow maps into the fused light loop."""
     if interpret is None:
         interpret = default_interpret()
     tiles_x = _cdiv(width, tile_w)
@@ -406,6 +427,8 @@ def resolve_fused_pallas(
         tile_depth_range=tile_depth_range,
     )
     packed = pack_light_records(lights)
+    if light_shadow_index is not None:
+        packed = packed.at[:, 28].set(light_shadow_index.astype(jnp.float32))
     from lsr_tpu.core.gather import take_rows
 
     tile_rec = take_rows(packed, jnp.maximum(lists, 0))
@@ -435,25 +458,39 @@ def resolve_fused_pallas(
         jnp.asarray(background, jnp.float32))
     zparams = zparams.at[0, 12].set(1.0)
 
+    n_vis = 0
+    vis_in = ()
+    if local_vis_planes is not None:
+        n_vis = int(local_vis_planes.shape[0])
+        vis_pad = jnp.pad(local_vis_planes,
+                          ((0, 0), (0, ph - height), (0, pw - width)),
+                          constant_values=1.0)
+        vis_in = (vis_pad,)
+
     kern = functools.partial(
         _resolve_kernel, chunk=chunk, tiles_x=tiles_x, sun_model=sun_model,
-        tile_h=tile_h, tile_w=tile_w, rec_layout=rec_layout)
+        tile_h=tile_h, tile_w=tile_w, rec_layout=rec_layout, n_vis=n_vis)
     rec_spec = (
         pl.BlockSpec((64, tile_h, tile_w), lambda i, j, c: (0, i, j),
                      memory_space=pltpu.VMEM)
         if rec_layout == "planes"
         else pl.BlockSpec((tile_h, tile_w, 64), lambda i, j, c: (i, j, 0),
                           memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((1, 128), lambda i, j, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cap, 32), lambda i, j, c: (i * tiles_x + j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        rec_spec,
+    ]
+    if n_vis:
+        in_specs.append(
+            pl.BlockSpec((n_vis, tile_h, tile_w), lambda i, j, c: (0, i, j),
+                         memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
-        in_specs=[
-            pl.BlockSpec((1, 128), lambda i, j, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, 32), lambda i, j, c: (i * tiles_x + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            rec_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, tile_h, tile_w), lambda i, j, c: (0, i, j),
                                memory_space=pltpu.VMEM),
     )
@@ -462,7 +499,7 @@ def resolve_fused_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, ph, pw), jnp.float32),
         interpret=interpret,
-    )(counts, zparams, tile_rec, planes)
+    )(counts, zparams, tile_rec, planes, *vis_in)
 
     hdr = jnp.moveaxis(out[0:3, :height, :width], 0, -1)
     return hdr, bin_stats

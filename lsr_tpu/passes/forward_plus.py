@@ -269,6 +269,7 @@ def resolve_forward_plus(
     sun_model: str = "pbr_mr",
     background=(0.04, 0.06, 0.1),
     rec_layout: str = "planes",
+    local_shadows=None,
 ):
     """Fully-fused resolve path: visibility buffer -> lit HDR in ONE Pallas
     kernel (lighting/resolve_kernel.py) with no intermediate G-buffer.
@@ -281,8 +282,13 @@ def resolve_forward_plus(
     (bias-only approximation; the lit term uses the exact interpolated
     normal inside the kernel).
 
+    local_shadows: optional LocalShadowMaps — visibility planes are
+    evaluated in XLA on the same reconstructed positions / corner-0
+    normals (the identical approximation class as the sun term above) and
+    fed plane-major into the kernel's light loop.
+
     Constraints: fake-IBL ambient only (ctx.ibl is ignored here — use
-    shade_forward_plus for real-IBL scenes) and no local shadow maps.
+    shade_forward_plus for real-IBL scenes).
     Returns (hdr, stats) like shade_forward_plus.
     """
     from lsr_tpu.core.gather import take_rows
@@ -296,16 +302,27 @@ def resolve_forward_plus(
     safe = jnp.where(covered, tid, 0)
     rec = take_rows(pack_interp_records(setup, ctx.materials), safe)
 
-    if ctx.shadow is not None:
+    wp_r = None
+    n0 = None
+    if ctx.shadow is not None or local_shadows is not None:
         wp_r = reconstruct_world_pos(depth01, view, proj, zn, zf,
                                      width, height)
         n0 = _norm(rec[..., 21:24])
+    if ctx.shadow is not None:
         l_dir = _norm(-ctx.light_dir_ws)
         ndl = jnp.maximum(jnp.sum(n0 * l_dir[None, None], -1), 0.0)
         vis = shadow_visibility_dir(ctx.shadow, wp_r, ndl)
         vis = jnp.where(ndl > 0.0, vis, 1.0)
     else:
         vis = jnp.ones_like(depth01)
+
+    local_vis_planes = None
+    light_shadow_index = None
+    if local_shadows is not None and local_shadows.n_shadowed:
+        from lsr_tpu.lighting.local_shadows import local_shadow_vis_planes
+
+        local_vis_planes = local_shadow_vis_planes(local_shadows, wp_r, n0)
+        light_shadow_index = local_shadows.light_shadow_index
 
     if ctx.textures is not None:
         xs = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
@@ -336,6 +353,8 @@ def resolve_forward_plus(
         lights, view, proj, width, height,
         tile_h=64, tile_w=128, cap=cap * 2, chunk=16, sun_model=sun_model,
         rec_layout=rec_layout,
+        local_vis_planes=local_vis_planes,
+        light_shadow_index=light_shadow_index,
     )
     return hdr, {"max_lights_per_bin": bin_stats["max_count"],
                  "overflow_bins": bin_stats["overflow_bins"],

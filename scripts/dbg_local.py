@@ -309,22 +309,30 @@ def part_frame():
     cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
 
     variants = {
-        "single(680,1024)": ((680, 1024),),
-        "cascade-default": default_vis_crop(h, w),
+        "single(680,1024)": (((680, 1024),), False),
+        "cascade-default": (default_vis_crop(h, w), False),
+        "cascade+resolve-lanes": (default_vis_crop(h, w), True),
     }
     fns = {}
-    for name, crop in variants.items():
+    for name, (crop, resolve) in variants.items():
         frame, _, _ = bench_mod.make_flagship_frame(
-            geom, objects, lights, ctx, w, h, vis_crop=crop)
+            geom, objects, lights, ctx, w, h, vis_crop=crop,
+            use_resolve=resolve)
         fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
     outs = {}
     for rnd in range(2):  # interleaved rounds
         for name, f in fns.items():
             outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
                                   cam, ctx)
-    a, b = (np.asarray(outs[k]) for k in variants)
-    print("  outputs equal:", bool((a == b).all()),
+    a, b = (np.asarray(outs[k]) for k in ("single(680,1024)",
+                                          "cascade-default"))
+    print("  crop outputs equal:", bool((a == b).all()),
           "max|d|:", float(np.abs(a.astype(int) - b.astype(int)).max()))
+    r = np.asarray(outs["cascade+resolve-lanes"])
+    dr = np.abs(r.astype(int) - b.astype(int))
+    print(f"  resolve vs classic: max|d| {dr.max()} "
+          f"frac>2 {(dr.max(-1) > 2).mean():.2e} (approx path, small "
+          f"deltas expected)")
 
 
 def part_r3ab():

@@ -116,3 +116,55 @@ def test_resolve_lanes_layout_matches_planes():
             cam.zf, w, h, cap=64, sun_model="pbr_mr", rec_layout=layout)
         outs[layout] = np.asarray(jax.block_until_ready(hdr))
     np.testing.assert_array_equal(outs["planes"], outs["lanes"])
+
+
+def test_resolve_with_local_shadows_matches_classic():
+    """Local shadow maps through the fused resolve kernel: compare vs the
+    classic interp->shade path with local_shadows.  Positions/normals feed
+    the vis planes from reconstruction/corner-0 (the resolve path's
+    documented approximation class), so tolerance matches the sun case."""
+    from lsr_tpu.lighting.local_shadows import (
+        plan_shadow_casters, render_local_shadow_maps)
+
+    w, h = 256, 192
+    geom, objects, cam, ctx, lights = _scene(w, h)
+    spot_ids, point_ids = plan_shadow_casters(lights, max_spot=2,
+                                              max_point=1)
+    sh = render_local_shadow_maps(
+        geom, objects, lights, spot_ids, point_ids,
+        map_size=128, point_size=64, pcf_radius=1)
+    assert sh.n_shadowed >= 2
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+
+    gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
+    hdr_a, _ = shade_forward_plus(
+        gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+        tile_size=16, cap=64, mode="tiled", sun_model="pbr_mr",
+        local_shadows=sh)
+    outs = {}
+    for layout in ("planes", "lanes"):
+        hdr_b, _ = resolve_forward_plus(
+            setup, depth, tid, ctx, lights, cam.view, cam.proj, cam.zn,
+            cam.zf, w, h, cap=64, sun_model="pbr_mr", local_shadows=sh,
+            rec_layout=layout)
+        outs[layout] = np.asarray(jax.block_until_ready(hdr_b))
+    np.testing.assert_array_equal(outs["planes"], outs["lanes"])
+
+    a = np.asarray(jax.block_until_ready(hdr_a))
+    b = outs["planes"]
+    d = np.abs(a - b)
+    assert d.mean() < 5e-3
+    assert (d.max(-1) > 0.05).mean() < 0.01
+
+    # The local shadows must actually darken the fused output somewhere:
+    # re-run the resolve WITHOUT local shadows and require a difference.
+    hdr_ns, _ = resolve_forward_plus(
+        setup, depth, tid, ctx, lights, cam.view, cam.proj, cam.zn,
+        cam.zf, w, h, cap=64, sun_model="pbr_mr")
+    diff = (np.asarray(jax.block_until_ready(hdr_ns)) - b).sum(-1)
+    assert (diff > 0.01).sum() > 20
