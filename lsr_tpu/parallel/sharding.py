@@ -416,7 +416,6 @@ def make_light_sharded_forward(mesh: Mesh, geom, objects, shade_ctx, lights,
     from lsr_tpu.lighting.light_runtime import accumulate_local_lights
     from lsr_tpu.raster.tiled import rasterize_direct
     from lsr_tpu.shading.common import gather_materials
-    from lsr_tpu.shading.models import _norm  # noqa: F401 (parity import)
 
     sp = mesh.shape["sp"]
     lp = mesh.shape["lp"]
