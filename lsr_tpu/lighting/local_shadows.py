@@ -589,6 +589,13 @@ def _spot_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
         u, v, z01, pw, w_ok, in_reach, s, jnp.int32(0))
     rows = jnp.where(in_map, rows, 0)
     tab = jax.lax.dynamic_slice_in_dim(sh.spot_taps, base * na2, na2, 0)
+    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
+    if TAPS_BARRIER:
+        # Materialize the slot's table slice contiguously: the gather row
+        # rate is TABLE-size-bound, and a slice fused into the gather
+        # reads the whole stack (memory/tpu-gather-cost-model; the sun
+        # path applies the same barrier in make_shadow_context).
+        tab = jax.lax.optimization_barrier(tab)
     lit = _pcf_from_rows(tab, rows, rx, ry, z01 - bias[0], sh.pcf_radius)
     strength = jnp.clip(sh.strength[k], 0.0, 1.0)
     vis = 1.0 + (lit - 1.0) * strength
@@ -665,6 +672,11 @@ def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
                                         face * na2)
     rows = jnp.where(in_map, rows, 0)
     tab = jax.lax.dynamic_slice_in_dim(sh.point_taps, base * na2, 6 * na2, 0)
+    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
+    if TAPS_BARRIER:
+        # See _spot_plane_one: keep the gather's table the 6-face slice,
+        # not a fused view of the whole point stack.
+        tab = jax.lax.optimization_barrier(tab)
     lit = _pcf_from_rows(tab, rows, rx, ry, z01 - bias, sh.pcf_radius)
     strength = jnp.clip(sh.strength[k], 0.0, 1.0)
     vis = 1.0 + (lit - 1.0) * strength
