@@ -240,6 +240,35 @@ def run_flagship_dryrun(n_devices: int) -> None:
               f"(partial light sums psum over lp, <=1 LSB vs 1-device), "
               f"{ms_lp:.1f} ms/step")
 
+    # --- pipeline-parallel ("pp") axis: staged frames over ppermute -------
+    from lsr_tpu.parallel.sharding import make_mesh_pp, make_pipelined_render
+    from lsr_tpu.parallel.sharding import render_band as _render_band
+
+    pp_stream = make_pipelined_render(make_mesh_pp(2), geom, objects, ctx,
+                                      width, height)
+    pp_cams = cams_for(1) + cams_for(2)
+    pp_vps = jnp.stack([c.viewproj for c in pp_cams])
+    pp_out = jax.block_until_ready(
+        pp_stream(pp_vps, pp_cams[0].zn, pp_cams[0].zf))
+    t0 = time.perf_counter()
+    pp_out = jax.block_until_ready(
+        pp_stream(pp_vps, pp_cams[0].zn, pp_cams[0].zf))
+    ms_pp = (time.perf_counter() - t0) * 1000 / max(len(pp_cams) - 1, 1)
+    pp_np = np.asarray(pp_out)
+    for i in range(1, len(pp_cams)):
+        ref_pp = np.asarray(_render_band(
+            geom, objects, pp_cams[i - 1].viewproj, pp_cams[0].zn,
+            pp_cams[0].zf, ctx, width, height, height, 0,
+            model_name="blinn_phong"))
+        d = np.abs(pp_np[i].astype(int) - ref_pp.astype(int))
+        assert d.max() <= 1, f"pp frame {i}: max|d|={d.max()}"
+    rows.append({"phase": "multichip", "run_id": run_id, "pp": 2,
+                 "w": width, "h": height, "step_ms": round(ms_pp, 2),
+                 "platform": jax.devices()[0].platform})
+    print(f"pipeline-parallel dryrun ok: pp=2 (raster stage | shade stage, "
+          f"G-buffer over ppermute, <=1 LSB vs 1-device), "
+          f"{ms_pp:.1f} ms/frame")
+
     try:
         path = "artifacts/multichip_scaling.jsonl"
         import os as _os

@@ -494,3 +494,117 @@ def make_light_sharded_forward(mesh: Mesh, geom, objects, shade_ctx, lights,
     lights_sharding = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P("lp")), lights)
     return jax.jit(step), lights_sharding
+
+
+def make_mesh_pp(n_devices: int = 2, devices=None) -> Mesh:
+    """A 1-axis ("pp",) mesh for pipeline parallelism (2 stages)."""
+    if devices is None:
+        devices = jax.devices()[:n_devices]
+    if len(devices) < n_devices:
+        raise ValueError(f"make_mesh_pp needs {n_devices} devices")
+    return Mesh(np.asarray(devices[:n_devices]), axis_names=("pp",))
+
+
+def make_pipelined_render(mesh: Mesh, geom, objects, shade_ctx,
+                          width: int, height: int,
+                          model_name: str = "blinn_phong",
+                          background=(0.04, 0.06, 0.1)):
+    """PIPELINE-parallel frame stream over a 2-device ("pp",) mesh.
+
+    The pass chain splits into two stages — stage 0: geometry setup +
+    raster + G-buffer interp; stage 1: shading + composite + tonemap —
+    with the inter-stage G-buffer handed from device 0 to device 1 by one
+    `lax.ppermute` per step (ICI).  A `lax.scan` over the camera stream
+    keeps both stages busy on consecutive frames: while device 1 shades
+    frame i-1, device 0 rasterizes frame i.  This is the renderer analog
+    of GPipe-style pipeline parallelism (SURVEY.md section 2.3 multi-chip
+    row), complementing dp/sp (data/screen) and lp (light partial sums).
+
+    Each device branches on its `lax.axis_index` (divergent work under
+    SPMD: cond lowers to a real branch per device), so per step each chip
+    executes only its own stage.  Output frame i equals the single-device
+    render of camera i-1 BIT-EXACTLY (same stage math, only the handoff
+    moves the buffers); the first output of a stream is the fill bubble
+    (stage 1 shades the zero-initialized carry) and must be discarded.
+
+    Input: viewprojs (N, 4, 4) camera stream; zn, zf scalars.
+    Output: (N, height, width, 3) u8 — row i = rendered camera i-1.
+    """
+    import dataclasses as _dc
+
+    from jax import lax
+
+    from lsr_tpu.raster.tiled import rasterize_direct
+
+    assert mesh.shape["pp"] == 2, "2-stage pipeline: pp axis must be 2"
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def stage0(vp, zn, zf):
+        setup = scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vp, width, height, obj_visible=objects.visible)
+        depth, tid, _ = rasterize_direct(setup, width, height, zn, zf)
+        return interpolate_gbuffer(setup, depth, tid)
+
+    def stage1(gb):
+        shaded = SHADING_MODELS[model_name](gb, shade_ctx)
+        bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32),
+                              shaded.shape)
+        hdr = composite_over_background(shaded, gb, bg)
+        return tonemap_pass(hdr)
+
+    def gb_zeros():
+        z2 = jnp.zeros((height, width), jnp.float32)
+        z3 = jnp.zeros((height, width, 3), jnp.float32)
+        from lsr_tpu.raster.interp import GBuffer
+
+        return GBuffer(
+            world_pos=z3, normal_ws=z3, uv=z3[..., :2], depth01=z2,
+            obj_id=jnp.full((height, width), -1, jnp.int32),
+            covered=jnp.zeros((height, width), bool), bary=z3,
+            face_normal=z3,
+            tri_id=jnp.full((height, width), -1, jnp.int32),
+            tangent=z3)
+
+    def step_stream(viewprojs, zn, zf):
+        def shard_fn(vps_local):
+            idx = lax.axis_index("pp")
+
+            def one_step(carry_gb, vp):
+                # Stage by device: dev 0 rasterizes the NEW frame, dev 1
+                # shades the carried one.  Both return full-size values so
+                # the cond branches match; the unused half is dead work
+                # the scheduler never sees live (each device takes one
+                # branch at runtime).
+                new_gb = jax.lax.cond(
+                    idx == 0,
+                    lambda: stage0(vp, zn, zf),
+                    lambda: carry_gb)
+                ldr = jax.lax.cond(
+                    idx == 1,
+                    lambda: stage1(carry_gb),
+                    lambda: jnp.zeros((height, width, 3), jnp.uint8))
+                # Hand the fresh G-buffer 0 -> 1 for the next step (ICI).
+                sent = jax.tree_util.tree_map(
+                    lambda x: lax.ppermute(x[None], "pp", [(0, 1)])[0],
+                    new_gb)
+                return sent, ldr
+
+            _, ldrs = jax.lax.scan(one_step, gb_zeros(), vps_local[0])
+            return ldrs[None]
+
+        out = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None),),
+            out_specs=P("pp"),
+            check_vma=False,
+        )(viewprojs[None])
+        # Device 1 holds the shaded frames; device 0's lane is zeros.
+        return out[1]
+
+    return jax.jit(step_stream, static_argnums=())

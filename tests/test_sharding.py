@@ -157,3 +157,32 @@ def test_light_sharded_forward():
     out2 = run(make_mesh_lp(8, sp=1, lp=8))
     d2 = np.abs(out2.astype(int) - ref.astype(int))
     assert d2.max() <= 1
+
+
+def test_pipeline_parallel_render():
+    """2-stage pipeline parallelism over a ("pp",) mesh: raster on device
+    0, shading on device 1, G-buffer handed over with ppermute.  Output
+    frame i must equal the single-device render of camera i-1 (frame 0 is
+    the fill bubble)."""
+    from lsr_tpu.parallel.sharding import make_mesh_pp, make_pipelined_render
+
+    geom, objects, ctx = _tiny_scene()
+    w, h = 128, 64
+    mesh = make_mesh_pp(2)
+    stream = make_pipelined_render(mesh, geom, objects, ctx, w, h)
+
+    cams = [make_camera(w, h, (np.sin(a) * -3, 0.5, np.cos(a) * -3),
+                        (0, 0, 0))
+            for a in np.linspace(0, 0.8, 4)]
+    vps = jnp.stack([c.viewproj for c in cams])
+    out = np.asarray(stream(vps, cams[0].zn, cams[0].zf))
+    assert out.shape == (4, h, w, 3)
+
+    for i in range(1, 4):
+        ref = np.asarray(render_band(
+            geom, objects, cams[i - 1].viewproj, cams[0].zn, cams[0].zf,
+            ctx, w, h, h, 0))
+        d = np.abs(out[i].astype(int) - ref.astype(int))
+        assert d.max() <= 1, f"frame {i}: max|d|={d.max()}"
+        assert (d != 0).mean() < 0.01, f"frame {i}: {(d != 0).mean()}"
+        assert out[i].any()
