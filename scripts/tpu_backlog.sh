@@ -23,7 +23,7 @@ for d in hello_rendering_paths hello_local_shadows hello_shadows \
          hello_normal_mapping hello_ibl_skybox hello_shaders \
          hello_wireframe hello_blinn_phong hello_full_pipeline \
          hello_water hello_pixel_primitives hello_shading_models \
-         hello_light_types; do
+         hello_light_types hello_parallelization; do
     run python "demos/$d.py"
 done
 run python bench.py
