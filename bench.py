@@ -140,6 +140,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         # every frame) -> raster -> interp -> forward+ (sun PCF + local
         # shadow planes + binned local lights) -> tonemap -> FXAA.
         objs = objects
+        lights_f = lights
+        caster_en = None
         if with_cull:
             wmin, wmax = object_world_aabbs(objects)
             vis = objects.visible & frustum_cull_objects(
@@ -150,17 +152,30 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             vis = vis & occlusion_cull_aabbs(
                 occ, cam.viewproj, wmin, wmax, cam.zn, cam.zf)
             objs = dataclasses.replace(objects, visible=vis)
+            # Per-frame LIGHT culling (hello_rendering_paths.cpp:94-97
+            # culls the light set with the same frustum + occlusion
+            # proxies): culled lights drop out of the bins AND out of the
+            # local-shadow atlas/vis work (caster_enabled below).
+            from lsr_tpu.lighting.light_culling import cull_lights_camera
+
+            lmask = cull_lights_camera(lights, cam.viewproj, occ_depth=occ,
+                                       zn=cam.zn, zf=cam.zf)
+            lights_f = dataclasses.replace(
+                lights, enabled=lights.enabled & lmask)
+            ids = list(spot_ids) + list(point_ids)
+            if ids:
+                caster_en = lights_f.enabled[jnp.asarray(ids)]
 
         local_sh = None
         if with_local and (spot_ids or point_ids):
             local_sh = render_local_shadow_maps(
-                geom, objects, lights, spot_ids, point_ids,
+                geom, objects, lights_f, spot_ids, point_ids,
                 map_size=local_map, point_size=local_point,
                 # The reference flagship samples spot AND point shadows at
                 # the sun's pcf radius 2 (hello_rendering_paths.cpp:6397,
                 # :6650 pass sun_shadow_params.w=2.0 per light).
                 pcf_radius=2, vis_scale=vis_scale,
-                vis_crop=tuple(vis_crop))
+                vis_crop=tuple(vis_crop), caster_enabled=caster_en)
 
         sm_depth, light_vp = render_shadow_map(
             geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
@@ -187,7 +202,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             # planes) + ambient in ONE Pallas kernel; no intermediate
             # G-buffer.  LSR_BENCH_RESOLVE=1 / _LAYOUT pick this from env.
             hdr, stats = resolve_forward_plus(
-                setup, depth, tid, ctx_sh, lights, cam.view, cam.proj,
+                setup, depth, tid, ctx_sh, lights_f, cam.view, cam.proj,
                 cam.zn, cam.zf, width, height, cap=128,
                 sun_model="pbr_mr", local_shadows=local_sh,
                 rec_layout=resolve_layout,
@@ -197,7 +212,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                                      materials=ctx.materials,
                                      want_face_normal=False)
             hdr, stats = shade_forward_plus(
-                gb, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+                gb, ctx_sh, lights_f, cam.view, cam.proj, cam.zn, cam.zf,
                 width, height, tile_size=16, cap=128,
                 # tiled_depth_range: per-tile depth bounds cut binned list
                 # work (72.9 vs 75.9 ms whole-frame, scripts/dbg_frame2.py).

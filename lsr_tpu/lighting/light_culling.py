@@ -248,3 +248,31 @@ def cull_lights_clustered(
     )  # (tiles, slices, L)
     num_tiles = mask.shape[0]
     return _mask_to_lists(mask.reshape(num_tiles * slices, -1), cap)
+
+
+def cull_lights_camera(lights, viewproj, occ_depth=None, zn=None, zf=None):
+    """Per-frame camera culling mask for LOCAL lights (True = keep).
+
+    The flagship culls its light set every frame with the same frustum +
+    occlusion proxies as the scene (hello_rendering_paths.cpp:94-97;
+    light_culling_runtime.hpp:266 frustum prefilter): sphere-vs-frustum on
+    the light range sphere, then (when an occluder depth proxy is supplied)
+    HiZ occlusion on the sphere's AABB.  Global lights (directional /
+    env probe) always pass.
+    """
+    from lsr_tpu.geometry.volumes import extract_frustum_planes
+
+    planes = extract_frustum_planes(viewproj)              # (6, 4)
+    pos = lights.position
+    r = jnp.maximum(lights.range, 0.0)
+    d = (planes[:, None, :3] * pos[None, :, :]).sum(-1) + planes[:, None, 3]
+    keep = jnp.all(d >= -r[None, :], axis=0)
+    if occ_depth is not None:
+        from lsr_tpu.geometry.occlusion import occlusion_cull_aabbs
+
+        lmin = pos - r[:, None]
+        lmax = pos + r[:, None]
+        keep = keep & occlusion_cull_aabbs(occ_depth, viewproj, lmin, lmax,
+                                           zn, zf)
+    local = (lights.type != 0) & (lights.type != 5)
+    return jnp.where(local, keep, True)

@@ -91,7 +91,7 @@ _TAP_STRIDE = 6
     jax.tree_util.register_dataclass,
     data_fields=["spot_taps", "point_taps", "spot_viewproj", "point_viewproj",
                  "caster_pos", "caster_range", "light_shadow_index",
-                 "strength", "bias_const", "bias_slope"],
+                 "strength", "bias_const", "bias_slope", "caster_enabled"],
     meta_fields=["spot_size", "point_size", "pcf_radius", "kinds",
                  "base_slots", "vis_scale", "vis_crop"],
 )
@@ -114,6 +114,11 @@ class LocalShadowMaps:
     strength: jnp.ndarray          # (K,)
     bias_const: jnp.ndarray        # scalar
     bias_slope: jnp.ndarray        # scalar
+    caster_enabled: jnp.ndarray | None = None  # (K,) bool: light survived
+                                   # the per-frame camera cull.  A culled
+                                   # light contributes nowhere, so its slot
+                                   # raster and plane gathers are skipped
+                                   # (plane = 1.0); final images are exact.
     spot_size: int = 1024
     point_size: int = 512
     pcf_radius: int = 1
@@ -245,14 +250,18 @@ def _stack_slot_setups(ts, slot_h: int):
 
 
 def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
-                       use_tiled, pcf_radius):
+                       use_tiled, pcf_radius, slot_enabled=None):
     """Depth-render every slot of one stack and pack its tap table.
 
     One lax.map over slots runs setup + depth raster per slot — measured
     fastest against a vmapped setup, a multi-view setup sweep
     (scene_setup_slots), and a stacked tall-framebuffer raster
     (scripts/dbg_local.py part_raster: 46.4 ms for 8x1024 incl. setup vs
-    65.4 for multi-setup+map; lax.map setup alone 13.8 ms vs 23.9 multi)."""
+    65.4 for multi-setup+map; lax.map setup alone 13.8 ms vs 23.9 multi).
+
+    slot_enabled: optional (n,) bool — slots whose light was culled by the
+    camera this frame render as all-far depth (their planes are skipped
+    anyway; see LocalShadowMaps.caster_enabled)."""
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.raster.brute import rasterize_brute
     from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
@@ -262,7 +271,7 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
     one = jnp.float32(1.0)
     wmin, wmax = object_world_aabbs(objects)
 
-    def render_slot(vp):
+    def render_slot_vp(vp):
         # Per-slot caster culling (the reference culls casters per light,
         # record_shadow_passes :6912): casters outside a slot's frustum
         # produce no valid setup lanes, so its kernel skips them.
@@ -287,7 +296,16 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
             )
         return d
 
-    depth = jax.lax.map(render_slot, vp_stack)      # (n, S, S)
+    if slot_enabled is None:
+        depth = jax.lax.map(render_slot_vp, vp_stack)   # (n, S, S)
+    else:
+        def render_slot(args):
+            vp, en = args
+            return jax.lax.cond(
+                en, render_slot_vp,
+                lambda _: jnp.ones((size, size), jnp.float32), vp)
+
+        depth = jax.lax.map(render_slot, (vp_stack, slot_enabled))
     from lsr_tpu.lighting import shadow_sample as _ss
 
     pack = (_ss.pack_shadow_taps_u16 if _ss.TAPS_U16 else pack_shadow_taps)
@@ -358,6 +376,7 @@ def render_local_shadow_maps(
     use_tiled: bool = True,
     vis_scale: int = 1,
     vis_crop: tuple = (),
+    caster_enabled=None,
 ) -> LocalShadowMaps:
     """Render every budgeted local shadow slot and pack the sampling tables.
 
@@ -366,6 +385,12 @@ def render_local_shadow_maps(
     with lax.map.  map_size is the spot/area-proxy resolution
     (local_resolution, shadow_technique.hpp:37); point_size the cube-face
     resolution (point_resolution :38; defaults to map_size).
+
+    caster_enabled: optional (K,) bool (spot-then-point id order) — pass
+    the per-frame camera cull result for the shadowed lights (the flagship
+    culls its light set every frame, hello_rendering_paths.cpp:94-97).  A
+    culled light contributes to no pixel, so its slot raster and its
+    visibility-plane gathers are skipped; final images are unchanged.
     """
     if point_size is None:
         point_size = map_size
@@ -374,17 +399,23 @@ def render_local_shadow_maps(
      spot_vp, point_vp) = plan_slot_stacks(lights, spot_ids, point_ids)
 
     caster_mask = objects.casts_shadow & objects.visible
+    n_spot = spot_vp.shape[0]
+    spot_en = point_en = None
+    if caster_enabled is not None:
+        caster_enabled = jnp.asarray(caster_enabled).astype(bool)
+        spot_en = caster_enabled[:n_spot]
+        point_en = jnp.repeat(caster_enabled[n_spot:], 6)
 
     spot_taps = None
     if spot_vp.shape[0]:
         spot_taps = _render_slot_stack(
             geom, objects, spot_vp, map_size, caster_mask, use_tiled,
-            pcf_radius)
+            pcf_radius, slot_enabled=spot_en)
     point_taps = None
     if point_vp.shape[0]:
         point_taps = _render_slot_stack(
             geom, objects, point_vp, point_size, caster_mask, use_tiled,
-            pcf_radius)
+            pcf_radius, slot_enabled=point_en)
 
     # Per-light index into the visibility stack: K for "unshadowed".
     idx = shadow_index_for_lights(lights, spot_ids, point_ids)
@@ -400,6 +431,7 @@ def render_local_shadow_maps(
         strength=jnp.asarray(strengths, jnp.float32),
         bias_const=jnp.float32(bias_const),
         bias_slope=jnp.float32(bias_slope),
+        caster_enabled=caster_enabled,
         spot_size=map_size,
         point_size=point_size,
         pcf_radius=pcf_radius,
@@ -500,7 +532,7 @@ def _crop_bounds(mask):
     return y0, y1, x0, x1, jnp.any(rows)
 
 
-def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes):
+def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes, enabled=None):
     """Evaluate a shadow plane on the smallest of the static crop sizes
     that covers the light's pixel footprint this frame (nested lax.cond;
     full-grid fallback when none fits).
@@ -513,7 +545,13 @@ def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes):
     cost is per-row — cropping is the difference between 2M and 0.5M
     rows/plane; the cascade recovers the extra 2x for lights whose
     footprint this frame fits a smaller window (a too-small SINGLE window
-    is worse than none: every miss pays the full grid)."""
+    is worse than none: every miss pays the full grid).
+
+    An EMPTY footprint short-circuits to the all-ones plane without any
+    gather (exact: no pixel is in_map).  `enabled` (scalar bool, optional)
+    forces the same short-circuit for camera-culled lights — their plane
+    is never consumed (the light is dropped from every bin), so the
+    constant plane leaves final images unchanged."""
     h, w = mask.shape
     sizes = [(min(ch, h), min(cw, w)) for ch, cw in sizes]
     # Drop full-size/duplicate levels; keep ascending-area order.
@@ -524,15 +562,18 @@ def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes):
             continue
         seen.add(s)
         lv.append(s)
-    if not lv:
-        return eval_fn(world_pos, normal)
     y0, y1, x0, x1, nonempty = _crop_bounds(mask)
+    run = nonempty if enabled is None else (nonempty & enabled)
+    if not lv:
+        return jax.lax.cond(
+            run, lambda _: eval_fn(world_pos, normal),
+            lambda _: jnp.ones((h, w), jnp.float32), 0)
 
     def level(i):
         if i == len(lv):
             return lambda _: eval_fn(world_pos, normal)
         ch, cw = lv[i]
-        fits = ((y1 - y0 + 1 <= ch) & (x1 - x0 + 1 <= cw)) | ~nonempty
+        fits = (y1 - y0 + 1 <= ch) & (x1 - x0 + 1 <= cw)
         y0c = jnp.clip(y0, 0, max(h - ch, 0))
         x0c = jnp.clip(x0, 0, max(w - cw, 0))
 
@@ -546,7 +587,8 @@ def _cropped_plane(eval_fn, mask, world_pos, normal, *sizes):
 
         return lambda _: jax.lax.cond(fits, crop_branch, level(i + 1), 0)
 
-    return level(0)(0)
+    return jax.lax.cond(
+        run, level(0), lambda _: jnp.ones((h, w), jnp.float32), 0)
 
 
 def _spot_in_map(sh: LocalShadowMaps, k: int, world_pos):
@@ -611,10 +653,17 @@ def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _spot_plane_one(sh, k, wp, nm)
+        en = (None if sh.caster_enabled is None
+              else sh.caster_enabled[k])
         if sh.vis_crop:
             mask = _spot_in_map(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *_crop_sizes(sh.vis_crop)))
+                                         *_crop_sizes(sh.vis_crop),
+                                         enabled=en))
+        elif en is not None:
+            planes.append(jax.lax.cond(
+                en, lambda _, fn=fn: fn(world_pos, normal),
+                lambda _: jnp.ones(world_pos.shape[:-1], jnp.float32), 0))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)
@@ -691,10 +740,17 @@ def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _point_plane_one(sh, k, wp, nm)
+        en = (None if sh.caster_enabled is None
+              else sh.caster_enabled[k])
         if sh.vis_crop:
             mask = _point_in_reach(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *_crop_sizes(sh.vis_crop)))
+                                         *_crop_sizes(sh.vis_crop),
+                                         enabled=en))
+        elif en is not None:
+            planes.append(jax.lax.cond(
+                en, lambda _, fn=fn: fn(world_pos, normal),
+                lambda _: jnp.ones(world_pos.shape[:-1], jnp.float32), 0))
         else:
             planes.append(fn(world_pos, normal))
     return jnp.stack(planes)

@@ -186,27 +186,16 @@ class SceneCullPass(RenderPass):
         out["view_mask"] = effective & objects.visible
 
         if p.cull_lights and "lights" in state:
-            from lsr_tpu.geometry.volumes import extract_frustum_planes
-
-            lights = state["lights"]
-            planes = extract_frustum_planes(cam.viewproj)  # (6, 4)
-            # Sphere-vs-frustum: centre distance >= -radius on all planes
+            # Sphere-vs-frustum + HiZ occlusion on the light range spheres
             # (the reference tests light culling shapes the same way,
             # light_culling_runtime.hpp:266 frustum prefilter).
-            pos = lights.position
-            r = jnp.maximum(lights.range, 0.0)
-            d = (planes[:, None, :3] * pos[None, :, :]).sum(-1) \
-                + planes[:, None, 3]
-            in_frustum = jnp.all(d >= -r[None, :], axis=0)
-            # Global lights (directional / env probe) are never culled.
-            local = (lights.type != 0) & (lights.type != 5)
-            lmask = jnp.where(local, in_frustum, True)
-            if p.occlusion and occ_depth is not None:
-                lmin = pos - r[:, None]
-                lmax = pos + r[:, None]
-                lvis = occlusion_cull_aabbs(
-                    occ_depth, cam.viewproj, lmin, lmax, cam.zn, cam.zf)
-                lmask = lmask & jnp.where(local, lvis, True)
+            from lsr_tpu.lighting.light_culling import cull_lights_camera
+
+            lights = state["lights"]
+            lmask = cull_lights_camera(
+                lights, cam.viewproj,
+                occ_depth=occ_depth if p.occlusion else None,
+                zn=cam.zn, zf=cam.zf)
             out["lights"] = dataclasses.replace(
                 lights, enabled=lights.enabled & lmask)
         return out
@@ -233,13 +222,19 @@ class LocalShadowsPass(RenderPass):
                 and (p.spot_ids or p.point_ids)):
             out["local_shadow_maps"] = None
             return out
+        # Camera-culled lights (scene_cull runs before this pass and
+        # rewrites lights.enabled) contribute nowhere — skip their slot
+        # rasters and plane gathers (image-exact; local_shadows.py).
+        lights = state["lights"]
+        ids = list(p.spot_ids) + list(p.point_ids)
+        caster_en = lights.enabled[jnp.asarray(ids)] if ids else None
         out["local_shadow_maps"] = render_local_shadow_maps(
-            state["geom"], state["objects"], state["lights"],
+            state["geom"], state["objects"], lights,
             spot_ids=tuple(p.spot_ids), point_ids=tuple(p.point_ids),
             map_size=p.map_size, point_size=p.point_size,
             pcf_radius=p.pcf_radius, bias_const=p.bias_const,
             bias_slope=p.bias_slope, vis_scale=p.vis_scale,
-            vis_crop=tuple(p.vis_crop),
+            vis_crop=tuple(p.vis_crop), caster_enabled=caster_en,
         )
         return out
 

@@ -268,3 +268,102 @@ def test_vis_crop_bit_exact():
     np.testing.assert_allclose(cascade, full, atol=2e-7)
     # Sanity: the tight spot actually shadows something.
     assert (full[..., 0] < 0.99).any()
+
+
+def test_caster_enabled_skips_planes_exactly():
+    """caster_enabled gating: disabled lights read as the all-ones plane;
+    enabled lights produce bit-identical planes to the ungated path."""
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=3.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lb.spot((1.0, 4.0, 1.0), (0.0, -1.0, 0.0), intensity=3.0, range=10.0,
+            inner_angle=0.5, outer_angle=0.9)
+    lb.point((0.0, 1.5, 0.0), intensity=3.0, range=8.0)
+    lights = lb.build()
+
+    ys, xs = jnp.meshgrid(jnp.linspace(-3, 3, 32),
+                          jnp.linspace(-3, 3, 256), indexing="ij")
+    wp = jnp.stack([xs, jnp.full_like(xs, -1.0), ys], axis=-1)
+    nm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), wp.shape)
+
+    for crop in ((), ((16, 128),)):
+        sh_full = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+            map_size=128, point_size=64, pcf_radius=1, vis_crop=crop)
+        en = jnp.asarray([True, False, True])
+        sh_gated = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+            map_size=128, point_size=64, pcf_radius=1, vis_crop=crop,
+            caster_enabled=en)
+        vis_full = np.asarray(local_shadow_vis_stack(sh_full, wp, nm))
+        vis_gated = np.asarray(local_shadow_vis_stack(sh_gated, wp, nm))
+        # Enabled planes match to 1 ULP (the lax.cond wrap lets XLA
+        # reassociate fused reductions — the documented _cropped_plane
+        # tolerance); the disabled plane is exactly 1.
+        np.testing.assert_allclose(vis_gated[..., 0], vis_full[..., 0],
+                                   atol=2e-7, rtol=0)
+        np.testing.assert_allclose(vis_gated[..., 2], vis_full[..., 2],
+                                   atol=2e-7, rtol=0)
+        assert np.all(vis_gated[..., 1] == 1.0), "disabled plane must be 1"
+        # Some pixel is actually shadowed by light 1 in the full path, so
+        # the gate is doing real work.
+        assert np.any(vis_full[..., 1] < 1.0)
+
+
+def test_caster_enabled_image_exact():
+    """End-to-end: culling an off-frustum shadowed light (slot raster +
+    plane skipped) leaves the shaded frame bit-identical."""
+    from lsr_tpu.lighting.light_culling import cull_lights_camera
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.common import make_materials
+    from lsr_tpu.shading.models import make_shade_context
+
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=6.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    # Far off-frustum spot: must be culled and contribute nothing.
+    lb.spot((200.0, 4.0, 200.0), (0.0, -1.0, 0.0), intensity=6.0,
+            range=10.0, inner_angle=0.6, outer_angle=1.1)
+    lights = lb.build()
+
+    w, h = 160, 120
+    cam = make_camera(w, h, (0.0, 5.0, -7.0), (0, 0, 0))
+    mats = make_materials(base_color=[(0.8, 0.8, 0.8), (0.7, 0.7, 0.7)])
+    ctx = make_shade_context(
+        mats, light_dir_ws=(0.3, -1.0, 0.2), light_intensity=0.2,
+        camera_pos=(0.0, 5.0, -7.0))
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid, materials=ctx.materials)
+
+    lmask = np.asarray(cull_lights_camera(lights, cam.viewproj))
+    assert bool(lmask[0]) and not bool(lmask[1])
+
+    sh_full = render_local_shadow_maps(
+        geom, objects, lights, spot_ids=(0, 1), point_ids=(),
+        map_size=128, pcf_radius=1)
+    hdr_full, _ = shade_forward_plus(
+        gb, ctx, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+        tile_size=16, cap=8, local_shadows=sh_full)
+
+    lights_c = dataclasses.replace(
+        lights, enabled=lights.enabled & jnp.asarray(lmask))
+    sh_gated = render_local_shadow_maps(
+        geom, objects, lights_c, spot_ids=(0, 1), point_ids=(),
+        map_size=128, pcf_radius=1,
+        caster_enabled=lights_c.enabled[jnp.asarray([0, 1])])
+    hdr_gated, _ = shade_forward_plus(
+        gb, ctx, lights_c, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+        tile_size=16, cap=8, local_shadows=sh_gated)
+    np.testing.assert_allclose(np.asarray(hdr_gated),
+                               np.asarray(hdr_full), atol=1e-5, rtol=1e-6)
