@@ -324,7 +324,7 @@ def main():
         wk += " + cull 320x180"
     print(
         f"# {fps:.2f} fps ({dt / frames * 1000:.2f} ms/frame), "
-        f"{mtris:.1f} Mtris/s at {width}x{height} "
+        f"{mtris:.2f} Mtris/s at {width}x{height} "
         f"(full frame: {wk} + forward+ + tonemap + fxaa)",
         file=sys.stderr,
     )
