@@ -283,6 +283,18 @@ def main():
         samples = int(os.environ.get("LSR_PHASE_F_SAMPLES", "180"))
         comps, pipes = build_preset_pipelines(w, h, presets, use_tiled=True,
                                               with_pipes=True)
+        # Compositions, not just techniques (VERDICT r2 #4): one flagship
+        # path also measured with the FULL post stack
+        # (render_composition_presets.hpp:138-170 "Full" composition).
+        if os.environ.get("LSR_PHASE_F_FULLSTACK", "1") == "1" and (
+                presets is None or "forward_plus" in presets):
+            from lsr_tpu.pipeline.recipe import POST_STACK_PRESETS
+
+            full_c, full_p = build_preset_pipelines(
+                w, h, {"forward_plus"}, post=POST_STACK_PRESETS["full"],
+                use_tiled=True, with_pipes=True)
+            comps["forward_plus+full"] = full_c["forward_plus"]
+            pipes["forward_plus+full"] = full_p["forward_plus"]
         write_jsonl("artifacts/phase_f_metrics.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
             "warmup": warmup, "samples": samples,
