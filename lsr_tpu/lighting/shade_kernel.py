@@ -38,7 +38,7 @@ _HALF_PI = 1.5707963267948966
 
 
 def _shade_kernel(
-    counts_ref, z_ref, rec_ref, gb_ref, out_ref,
+    counts_ref, vflags_ref, z_ref, rec_ref, gb_ref, out_ref,
     *, chunk: int, tiles_x: int, sun_model: str, n_vis: int = 0,
     slices: int = 0, fastmath: tuple = (),
 ):
@@ -248,12 +248,24 @@ def _shade_kernel(
             # Local shadow maps: record lane 28 is the light's visibility
             # plane index (eval_local_shadow multiply,
             # fp_stress_scene.frag:520); plane n_vis-1 is constant 1.0 for
-            # unshadowed lights, so the one-hot sum is exact.
+            # unshadowed lights, so the one-hot sum is exact.  Shadowed
+            # lights are few (<=10 of 256) and sit in the first chunks of
+            # each tile list, so a per-chunk prefetch flag skips the
+            # (n_vis)-plane select on chunks with no shadowed light —
+            # bit-exact (their lvis would be the constant-1 plane).
+            n_slots = rec_ref.shape[1] // chunk
+            slot = (list_base // chunk) + ci
+            vflag = vflags_ref[t_lin0 * n_slots + slot]
             sidx = f(28)
-            lvis = zero[None]
-            for k in range(n_vis):
-                lvis = lvis + jnp.where(sidx == float(k), gb_ref[16 + k], 0.0)
-            gain = gain * lvis
+
+            def with_vis(g):
+                lvis = zero[None]
+                for k in range(n_vis):
+                    lvis = lvis + jnp.where(sidx == float(k),
+                                            gb_ref[16 + k], 0.0)
+                return g * lvis
+
+            gain = jax.lax.cond(vflag > 0, with_vis, lambda g: g, gain)
         if slice_id is not None:
             # Clustered mode: this chunk belongs to cluster slice
             # `slice_id`; only pixels whose log-Z slice matches take it
@@ -385,14 +397,27 @@ def shade_fused_pallas(
             tile_depth_range=tile_depth_range,
         )
     packed = pack_light_records(lights)
+    n_vis_pre = 0 if local_vis_stack is None else local_vis_stack.shape[-1]
     if light_shadow_index is not None:
         packed = packed.at[:, 28].set(light_shadow_index.astype(jnp.float32))
     from lsr_tpu.core.gather import take_rows
 
     tile_rec = take_rows(packed, jnp.maximum(lists, 0))
     tile_rec = jnp.where((lists >= 0)[..., None], tile_rec, 0.0)
+    if n_vis_pre > 0:
+        # Padded entries read as "unshadowed" so the per-chunk shadow
+        # flags below stay exact (a zeroed record would look shadowed).
+        tile_rec = tile_rec.at[..., 28].set(jnp.where(
+            lists >= 0, tile_rec[..., 28], float(n_vis_pre - 1)))
     if slices:
         tile_rec = tile_rec.reshape(num_tiles, slices * cap, 32)
+    # Per-(tile, chunk) "contains a shadowed light" prefetch flags.
+    n_slots = tile_rec.shape[1] // chunk
+    if n_vis_pre > 0:
+        vflags = (tile_rec[..., 28] < float(n_vis_pre - 1)).reshape(
+            num_tiles, n_slots, chunk).any(-1).astype(jnp.int32).reshape(-1)
+    else:
+        vflags = jnp.zeros((num_tiles * n_slots,), jnp.int32)
 
     def padp(x):
         return jnp.pad(
@@ -432,18 +457,20 @@ def shade_fused_pallas(
                              sun_model=sun_model, n_vis=n_vis, slices=slices,
                              fastmath=fastmath)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda i, j, c: (0, 0),
+            pl.BlockSpec((1, 128), lambda i, j, c, v: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, (slices or 1) * cap, 32),
-                         lambda i, j, c: (i * tiles_x + j, 0, 0),
+                         lambda i, j, c, v: (i * tiles_x + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_gb, tile_h, tile_w), lambda i, j, c: (0, i, j),
+            pl.BlockSpec((n_gb, tile_h, tile_w),
+                         lambda i, j, c, v: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile_h, tile_w), lambda i, j, c: (0, i, j),
+        out_specs=pl.BlockSpec((8, tile_h, tile_w),
+                               lambda i, j, c, v: (0, i, j),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -451,7 +478,7 @@ def shade_fused_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, ph, pw), jnp.float32),
         interpret=interpret,
-    )(counts, zparams, tile_rec, gbuf)
+    )(counts, vflags, zparams, tile_rec, gbuf)
 
     lit = jnp.moveaxis(out[0:3, :height, :width], 0, -1)
     return lit, bin_stats
