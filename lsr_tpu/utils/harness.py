@@ -232,15 +232,32 @@ def run_soak(
             while done < frames_per_cycle:
                 n = min(drain_every, frames_per_cycle - done)
                 t0 = time.perf_counter()
+                t_disp = 0.0
                 out = None
                 for _ in range(n):
+                    td = time.perf_counter()
                     out = fn(frame)
+                    t_disp += time.perf_counter() - td
                     frame += 1
                 probe(out)
-                busy_ms += max(
+                chunk = max(
                     (time.perf_counter() - t0) * 1000.0 - floor_ms, 0.0)
+                busy_ms += chunk
                 drains += 1
                 done += n
+                if jsonl_path:
+                    # Per-chunk diagnostics: dispatch_ms is the host-side
+                    # share (state staging + program dispatch); chunk minus
+                    # dispatch is device queue drain.  Localizes whether a
+                    # slow soak is renderer time or dispatch/tunnel time.
+                    write_jsonl(jsonl_path, [{
+                        "phase": "G_chunk", "cycle": cycle,
+                        "composition": name, "frames": n,
+                        "ms_per_frame": round(chunk / n, 2),
+                        "dispatch_ms_per_frame": round(
+                            t_disp * 1000.0 / n, 2),
+                        **({"run_id": run_id} if run_id else {}),
+                    }])
                 if time.perf_counter() - t_start >= duration_s:
                     break
         except Exception:  # cycle failure is data, not a crash (Phase G)
