@@ -288,8 +288,12 @@ def part_crop():
                  default_vis_crop(h, w),
                  ((560, 640), (680, 1024), (864, 1536))):
         s2 = dataclasses.replace(sh, vis_crop=crop)
-        o = bench_fn(f"vis stack crop={crop or 'full'}", jax.jit(
-            lambda a, b, s=s2: local_shadow_vis_stack(s, a, b)), wp, nm)
+        # sh passed as a jit ARGUMENT: closing over it bakes the tap tables
+        # into the executable as constants, and with the crop cascade's
+        # nested conds the serialized executable exceeds the remote
+        # compiler's limit (observed: 2.4GB metadata -> HTTP 500).
+        o = bench_fn(f"vis stack crop={crop or 'full'}",
+                     jax.jit(local_shadow_vis_stack), s2, wp, nm)
         if ref is None:
             ref = o
         else:
@@ -455,10 +459,12 @@ def part_r3ab():
             map_size=1024, point_size=512, pcf_radius=2, vis_crop=crop))
         sh = fmaps()
         bench_fn(f"atlas render+pack u16={int(u16)}", fmaps)
+        # sh as a jit ARGUMENT (not closure): constant tap tables + the
+        # crop-cascade conds overflow the remote compiler's executable
+        # serialization (2.4GB metadata -> HTTP 500).
         vouts[u16] = np.asarray(bench_fn(
             f"local vis stack u16={int(u16)}",
-            jax.jit(lambda a, b, s=sh: ls.local_shadow_vis_stack(s, a, b)),
-            wp, nm))
+            jax.jit(ls.local_shadow_vis_stack), sh, wp, nm))
     d = np.abs(vouts[False] - vouts[True])
     print(f"  vis stack u16 max|diff| {d.max():.3e} "
           f"frac>1e-6 {(d > 1e-6).mean():.2e}", flush=True)
@@ -474,8 +480,7 @@ def part_r3ab():
                                        pcf_radius=2)
         uouts[u16] = np.asarray(bench_fn(
             f"sun visibility u16={int(u16)}",
-            jax.jit(lambda a, b, c=ctx_s: ss.shadow_visibility_dir(c, a, b)),
-            wp, ndl))
+            jax.jit(ss.shadow_visibility_dir), ctx_s, wp, ndl))
     d = np.abs(uouts[False] - uouts[True])
     print(f"  sun vis u16 max|diff| {d.max():.3e} "
           f"frac>1e-6 {(d > 1e-6).mean():.2e}", flush=True)
@@ -494,23 +499,23 @@ def part_r3ab():
     ctx_sh = _dc.replace(ctx, shadow=sun_sh)
     router = {}
     for layout in ("planes", "lanes"):
-        f = jax.jit(lambda s, d_, t_, lo=layout: resolve_forward_plus(
-            s, d_, t_, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+        f = jax.jit(lambda s, d_, t_, c, lo=layout: resolve_forward_plus(
+            s, d_, t_, c, lights, cam.view, cam.proj, cam.zn, cam.zf,
             w, h, cap=128, rec_layout=lo)[0])
         router[layout] = np.asarray(bench_fn(
-            f"fused resolve 1080p {layout}", f, setup, depth, tid))
+            f"fused resolve 1080p {layout}", f, setup, depth, tid, ctx_sh))
     if not (router["planes"] == router["lanes"]).all():
         dd = np.abs(router["planes"] - router["lanes"])
         print(f"  RESOLVE LAYOUT DIFF max {dd.max():.3e}", flush=True)
 
-    def classic(s, d_, t_):
-        gbl = interpolate_gbuffer(s, d_, t_, materials=ctx_sh.materials)
+    def classic(s, d_, t_, c):
+        gbl = interpolate_gbuffer(s, d_, t_, materials=c.materials)
         return shade_forward_plus(
-            gbl, ctx_sh, lights, cam.view, cam.proj, cam.zn, cam.zf,
+            gbl, c, lights, cam.view, cam.proj, cam.zn, cam.zf,
             w, h, tile_size=16, cap=128, mode="tiled")[0]
 
     bench_fn("classic interp+shade 1080p", jax.jit(classic),
-             setup, depth, tid)
+             setup, depth, tid, ctx_sh)
 
 
 def part_cull():
