@@ -61,10 +61,11 @@ def main():
             map_size=1024, point_size=512, pcf_radius=2, vis_crop=crop))
         sh = fmaps()
         bench_fn(f"atlas render+pack stride={stride}", fmaps)
+        # sh as a jit ARGUMENT (closure consts + crop conds overflow the
+        # remote compiler's executable serialization; see dbg_local r3ab).
         vouts[stride] = np.asarray(bench_fn(
             f"local vis stack stride={stride}",
-            jax.jit(lambda a, b, s=sh: ls.local_shadow_vis_stack(s, a, b)),
-            wp, nm))
+            jax.jit(ls.local_shadow_vis_stack), sh, wp, nm))
     ls._TAP_STRIDE = stride_was
     for stride in (4, 8):
         d = np.abs(vouts[stride] - vouts[6])
@@ -100,8 +101,7 @@ def main():
                  sun_depth)
         souts[stride] = np.asarray(bench_fn(
             f"sun visibility stride={stride}",
-            jax.jit(lambda a, b, s=shctx: ss.shadow_visibility_dir(
-                s, a, b)), wp, ndl))
+            jax.jit(ss.shadow_visibility_dir), shctx, wp, ndl))
     for stride in (4, 6):
         d = np.abs(souts[stride] - souts[8])
         print(f"  sun stride {stride} vs 8: max|diff| {d.max():.3e}",

@@ -11,6 +11,7 @@ cd "$(dirname "$0")/.."
 run() { "$@" || { echo "RETRY: $*" >&2; sleep 90; "$@"; }; }
 
 run python scripts/dbg_local.py r3ab
+run python scripts/dbg_vis3.py
 run python scripts/dbg_pipe.py all
 run python scripts/tpu_goldens.py
 echo "TPU BACKLOG2 COMPLETE"
