@@ -195,7 +195,10 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             cam.viewproj, width, height, obj_visible=objs.visible,
         )
         depth, tid, max_bin = rasterize_direct(
-            setup, width, height, cam.zn, cam.zf
+            setup, width, height, cam.zn, cam.zf,
+            # Tile-order spatial sort: 6.2 vs 8.1 ms at 1080p, bit-exact
+            # incl. tids via the lexicographic tie resolve (dbg_local r3ab).
+            spatial_sort=True,
         )
         if use_resolve:
             # Fully-fused resolve: interp + sun + lights (+ local shadow

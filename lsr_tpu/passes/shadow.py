@@ -49,15 +49,18 @@ def render_shadow_map(
     )
     one = jnp.float32(1.0)
     if use_tiled:
-        from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP, rasterize_direct
+        from lsr_tpu.raster.tiled import rasterize_direct
 
         depth, _, _ = rasterize_direct(
             setup, map_size, map_size, jnp.float32(0.0), one,
             depth_mode=DEPTH_NDC01, track_ids=False,
             # 128x128 tiles beat the 64x128 default for big square
             # depth-only targets (19.9 vs 23.7 ms at 2048^2, bit-exact;
-            # scripts/dbg_shadowraster.py).
-            tile_h=128, tile_w=128, spatial_sort=SORT_DEPTH_SETUP,
+            # scripts/dbg_shadowraster.py).  spatial_sort wins for the ONE
+            # big sun map (12.5 vs 15.6 ms at 2048^2, dbg_local r3ab) but
+            # LOSES for per-slot atlas stacks (the per-slot argsort costs
+            # more than it saves at 1024^2) — promoted here only.
+            tile_h=128, tile_w=128, spatial_sort=True,
         )
     else:
         depth, _ = rasterize_brute(

@@ -73,6 +73,9 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
             setup, fp.width, fp.height, cam.zn, cam.zf,
             tile_h=fp.raster_tile_h, tile_w=fp.raster_tile_w,
             chunk=fp.raster_chunk,
+            # Tile-order sort wins for the camera raster (6.2 vs 8.1 ms at
+            # 1080p, bit-exact incl. tids; dbg_local r3ab).
+            spatial_sort=True,
         )
     else:
         depth, tid, _ = rasterize_tiled(
