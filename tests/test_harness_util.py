@@ -102,6 +102,14 @@ def test_benchmark_and_parity_and_soak(tmp_path):
                       rt_registry=rtr,
                       jsonl_path=str(tmp_path / "g.jsonl"))
     assert report["accepted"] and report["frames"] > 0
+    # Per-chunk diagnostic rows: one per drain, with host dispatch share.
+    grows = [json.loads(l) for l in open(tmp_path / "g.jsonl")]
+    chunks = [r for r in grows if r.get("phase") == "G_chunk"]
+    assert len(chunks) == report["drains"]
+    assert sum(c["frames"] for c in chunks) == report["frames"]
+    for c in chunks:
+        assert c["composition"] in ("a", "b")
+        assert c["dispatch_ms_per_frame"] >= 0.0
 
 
 def test_logging_smoke(capsys):
