@@ -141,24 +141,39 @@ class LocalShadowMaps:
 
 
 def default_vis_crop(height: int, width: int) -> tuple:
-    """A two-level crop cascade rounded to TPU-friendly tile sizes
-    (sublane multiple of 8, lane multiple of 128).
+    """A four-level crop cascade rounded to TPU-friendly tile sizes
+    (sublane multiple of 8, lane multiple of 128), ascending area.
 
-    Level 1 (the (5/8 h, 1/2 w) window) covers the flagship orbit's
-    measured footprints (spot bboxes up to 652x897 at 1080p, point
-    range-spheres 535x558) with zero full-screen fallbacks.  Level 0 is
-    half that area: point lights and near-axis spots fit it most frames,
-    halving their gather rows.  A too-small SINGLE window is worse than
-    none (measured: (256,512) alone slower than full-screen at 1080p
-    because every miss pays the full grid) — the cascade's miss instead
-    pays level 1."""
-    ch1 = min(height, -(-(height * 5 // 8) // 8) * 8)
-    cw1 = min(width, -(-(width // 2) // 128) * 128)
-    ch0 = min(height, -(-(height * 33 // 64) // 8) * 8)
-    cw0 = min(width, -(-(width // 3) // 128) * 128)
-    if (ch0, cw0) == (ch1, cw1):
-        return ((ch1, cw1),)
-    return ((ch0, cw0), (ch1, cw1))
+    Levels 0/1 cover the flagship orbit's measured footprints (spot bboxes
+    up to 652x897 at 1080p, point range-spheres 535x558; level 1 catches
+    them with zero full-screen fallbacks, level 0 is half that area for
+    point lights and near-axis spot frames).  Levels 2/3 are ASPECT
+    variants — (3/4 h, full w) and (full h, 3/4 w) — for lights close to
+    the camera whose footprint is screen-wide on one axis only (the Phase F
+    scene's overhead spots: 0.3-0.9 screen fractions, measured to overflow
+    a (5/8, 1/2) ladder on every light).  A footprint that misses every
+    level pays the full grid, which is the honest cost for lights that
+    genuinely cover the screen.  A too-small SINGLE window is worse than
+    none (measured: (256,512) alone slower than full-screen at 1080p) —
+    the cascade's misses land on the next level instead."""
+    def rh(f):  # height rounded up to sublane multiple, capped
+        return min(height, -(-int(height * f) // 8) * 8)
+
+    def rw(f):
+        return min(width, -(-int(width * f) // 128) * 128)
+
+    levels = [
+        (rh(33 / 64), rw(1 / 3)),
+        (rh(5 / 8), rw(1 / 2)),
+        (rh(3 / 4), width),
+        (height, rw(3 / 4)),
+    ]
+    out, seen = [], set()
+    for lv in levels:
+        if lv not in seen and not (lv[0] >= height and lv[1] >= width):
+            seen.add(lv)
+            out.append(lv)
+    return tuple(out)
 
 
 def plan_shadow_casters(lights: LightsSoA, max_spot: int = 8,
