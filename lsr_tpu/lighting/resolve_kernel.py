@@ -47,6 +47,21 @@ _PI = 3.14159265358979
 _HALF_PI = 1.5707963267948966
 
 
+def _sum0(x):
+    """Reduce a (chunk, th, tw) value over its static leading axis with a
+    pairwise tree of 2D adds.  Mosaic rejects the equivalent 3D
+    ``jnp.sum(axis=0)`` at chunk=16 ("Unsupported output implicit
+    dimension", vector<16x64x128> -> vector<64x128>); static slices + 2D
+    vector adds lower everywhere and cost the same chunk-1 adds."""
+    parts = [x[j] for j in range(x.shape[0])]
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _resolve_kernel(
     counts_ref, z_ref, lrec_ref, in_ref, *rest,
     chunk: int, tiles_x: int, sun_model: str, tile_h: int, tile_w: int,
@@ -317,12 +332,12 @@ def _resolve_kernel(
 
         wd = gain * lndl
         ws = gain * spec
-        ldr_ = ldr_ + jnp.sum(jnp.maximum(colr, 0.0) * wd, axis=0)
-        ldg = ldg + jnp.sum(jnp.maximum(colg, 0.0) * wd, axis=0)
-        ldb = ldb + jnp.sum(jnp.maximum(colb, 0.0) * wd, axis=0)
-        lsr = lsr + jnp.sum(jnp.maximum(colr, 0.0) * ws, axis=0)
-        lsg = lsg + jnp.sum(jnp.maximum(colg, 0.0) * ws, axis=0)
-        lsb = lsb + jnp.sum(jnp.maximum(colb, 0.0) * ws, axis=0)
+        ldr_ = ldr_ + _sum0(jnp.maximum(colr, 0.0) * wd)
+        ldg = ldg + _sum0(jnp.maximum(colg, 0.0) * wd)
+        ldb = ldb + _sum0(jnp.maximum(colb, 0.0) * wd)
+        lsr = lsr + _sum0(jnp.maximum(colr, 0.0) * ws)
+        lsg = lsg + _sum0(jnp.maximum(colg, 0.0) * ws)
+        lsb = lsb + _sum0(jnp.maximum(colb, 0.0) * ws)
         return ldr_, ldg, ldb, lsr, lsg, lsb
 
     cap = lrec_ref.shape[1]
