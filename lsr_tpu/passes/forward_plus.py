@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lsr_tpu.lighting.light_culling import (
     cull_lights_clustered,
@@ -117,14 +118,28 @@ def shade_forward_plus(
             local_vis = local_shadow_vis_stack(
                 local_shadows, gb.world_pos, n)
             shadow_idx = local_shadows.light_shadow_index
+        # apow1: when every light's attenuation power is the builder
+        # default 1.0 AND the light set is concrete at trace time (bench /
+        # demo closures; pipeline state is traced and keeps the pow), skip
+        # the per-light pow — pow(x, 1) on the VPU costs ~2e-10 error, so
+        # the skip is the MORE exact path (dbg_shade: 5.73 vs 6.31 ms).
+        fast = ()
+        ap = lights.atten_power
+        if not isinstance(ap, jax.core.Tracer):
+            apn = np.asarray(ap)
+            if apn.size and bool((apn == 1.0).all()):
+                fast = ("apow1",)
         lit, bin_stats = shade_fused_pallas(
             gb.world_pos, n, gb.covered,
             albedo, metal[..., 0], rough[..., 0], vis,
             ctx.camera_pos, ctx.light_dir_ws,
             ctx.light_color * ctx.light_intensity,
             lights, view, proj, width, height,
-            tile_h=64, tile_w=128, cap=cap * 2, chunk=16,
-            tile_depth_range=tdr, sun_model=sun_model,
+            # chunk=8 measured fastest across th {32,64,128} on the 1080p
+            # bench workload (dbg_shade sweep: 5.70 vs 6.31 ms at chunk=16)
+            # and gives the per-chunk shadowed-flag skip finer granularity.
+            tile_h=64, tile_w=128, cap=cap * 2, chunk=8,
+            tile_depth_range=tdr, sun_model=sun_model, fastmath=fast,
             local_vis_stack=local_vis, light_shadow_index=shadow_idx,
             cluster_slice_plane=slice_plane, slices=kern_slices,
             zn=zn, zf=zf,
@@ -351,7 +366,7 @@ def resolve_forward_plus(
         ctx.light_color * ctx.light_intensity,
         jnp.asarray(background, jnp.float32),
         lights, view, proj, width, height,
-        tile_h=64, tile_w=128, cap=cap * 2, chunk=16, sun_model=sun_model,
+        tile_h=64, tile_w=128, cap=cap * 2, chunk=8, sun_model=sun_model,
         rec_layout=rec_layout,
         local_vis_planes=local_vis_planes,
         light_shadow_index=light_shadow_index,

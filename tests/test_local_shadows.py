@@ -270,6 +270,30 @@ def test_vis_crop_bit_exact():
     assert (full[..., 0] < 0.99).any()
 
 
+def test_default_vis_crop_cascade_shape():
+    """default_vis_crop: TPU-tile-aligned levels (sublane x8, lane x128
+    unless capped at the screen edge), strictly below full screen, unique,
+    ascending area, and the aspect-variant levels span each axis fully."""
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+
+    for (h, w) in ((1080, 1920), (720, 1280), (180, 320), (128, 128)):
+        cascade = default_vis_crop(h, w)
+        assert len(cascade) == len(set(cascade)) > 0
+        areas = [ch * cw for ch, cw in cascade]
+        assert areas == sorted(areas)
+        for ch, cw in cascade:
+            assert (ch <= h) and (cw <= w) and not (ch >= h and cw >= w)
+            assert ch % 8 == 0 or ch == h
+            assert cw % 128 == 0 or cw == w
+    # At flagship-class resolutions the two aspect variants must exist so
+    # near-camera lights that are screen-wide on ONE axis avoid the full
+    # grid (the Phase F overflow, dbg_pipe ab: 237 -> 155.5 ms @720p).
+    for (h, w) in ((1080, 1920), (720, 1280)):
+        cascade = default_vis_crop(h, w)
+        assert any(cw >= w and ch < h for ch, cw in cascade)
+        assert any(ch >= h and cw < w for ch, cw in cascade)
+
+
 def test_caster_enabled_skips_planes_exactly():
     """caster_enabled gating: disabled lights read as the all-ones plane;
     enabled lights produce bit-identical planes to the ungated path."""
