@@ -99,7 +99,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                         shadow_size=2048, local_map=1024, local_point=512,
                         with_local=True, with_cull=True, vis_scale=1,
                         vis_crop=(), cap=2048, use_resolve=None,
-                        resolve_layout=None):
+                        resolve_layout=None, shadow_filter=None):
     """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
     structure): per-frame cull -> sun + local shadow atlas -> raster ->
     forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
@@ -132,6 +132,11 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         use_resolve = os.environ.get("LSR_BENCH_RESOLVE", "0") == "1"
     if resolve_layout is None:
         resolve_layout = os.environ.get("LSR_BENCH_RESOLVE_LAYOUT", "lanes")
+    if shadow_filter is None:
+        # "pcf" = reference-exact window filter; "esm" = prefiltered soft
+        # maps, one 1-lane fetch per (pixel, light) — the round-4
+        # gather-floor lever (PARITY.md deviation class).
+        shadow_filter = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
 
     def frame(cam, ctx_t):
         # Full flagship composition (hello_rendering_paths.cpp:8360 frame):
@@ -175,7 +180,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 # the sun's pcf radius 2 (hello_rendering_paths.cpp:6397,
                 # :6650 pass sun_shadow_params.w=2.0 per light).
                 pcf_radius=2, vis_scale=vis_scale,
-                vis_crop=tuple(vis_crop), caster_enabled=caster_en)
+                vis_crop=tuple(vis_crop), caster_enabled=caster_en,
+                filter_mode=shadow_filter)
 
         sm_depth, light_vp = render_shadow_map(
             geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
@@ -186,6 +192,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             strength=shadow_params.strength,
             pcf_radius=shadow_params.pcf_radius,
             pcf_step=shadow_params.pcf_step,
+            filter_mode=shadow_filter,
         )
         ctx_sh = dataclasses.replace(ctx_t, shadow=shadow_ctx)
 
@@ -325,6 +332,9 @@ def main():
                f"+{len(point_ids)}x6x{local_point}")
     if with_cull:
         wk += " + cull 320x180"
+    sf = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
+    if sf != "pcf":
+        wk += f" + {sf} filter"
     print(
         f"# {fps:.2f} fps ({dt / frames * 1000:.2f} ms/frame), "
         f"{mtris:.2f} Mtris/s at {width}x{height} "

@@ -88,7 +88,10 @@ def render(geom, objects, lights, ctx, eye, w, h, use_tiled):
     spot_ids, point_ids = plan_shadow_casters(lights, max_spot=8, max_point=2)
     sh = render_local_shadow_maps(
         geom, objects, lights, spot_ids=spot_ids, point_ids=point_ids,
-        map_size=512, pcf_radius=1, use_tiled=use_tiled)
+        map_size=512, pcf_radius=1, use_tiled=use_tiled,
+        # LSR_DEMO_SHADOW_FILTER=esm drives the prefiltered soft-map path
+        # (PARITY.md deviation); default is the reference-exact PCF.
+        filter_mode=os.environ.get("LSR_DEMO_SHADOW_FILTER", "pcf"))
 
     setup = scene_setup(
         geom.positions, geom.normals, geom.uvs, geom.indices,

@@ -20,8 +20,9 @@ callback step with mutable filter state; here the whole voice is a
 smoothers, the two one-pole filters and prevNoise are the carry), with
 the white-noise stream drawn vectorized from the JAX PRNG outside the
 scan and the 24-harmonic stack evaluated as one vectorized sum per
-sample.  The load-bin harmonic table is precomputed exactly like the
-reference's harmW (:159-182).  The FFT spectrum view (fft_radix2 +
+sample.  The load-bin harmonic table is a re-tuned variant of the
+reference's harmW (:159-182; see harmonic_table for the deliberate
+differences).  The FFT spectrum view (fft_radix2 +
 draw_wave, :298-340) maps to jnp.fft.rfft + a rendered PNG.
 """
 
@@ -54,9 +55,12 @@ class EngineControls:
 
 
 def harmonic_table(h: int = H_HARMONICS, bins: int = LOAD_BINS):
-    """Load-binned harmonic weights (hello_engine_synth.cpp:159-182):
-    brightness rises with load, rolloff exponent falls, odd harmonics get
-    a small boost, rows are normalized to unit sum."""
+    """Load-binned harmonic weights — a RE-TUNED variant of the reference's
+    harmW table (hello_engine_synth.cpp:159-182), not an exact match: same
+    structure (brightness rises with load, rolloff exponent falls, rows
+    normalized to unit sum) but 24 harmonics x 8 bins instead of 8 x 32,
+    no k>=5/k>=7 damping factors, and an added odd-harmonic boost
+    (1 + 0.35*bright) for a richer voice on the wider stack."""
     k = np.arange(1, h + 1, dtype=np.float32)
     rows = []
     for b in range(bins):
@@ -112,6 +116,10 @@ def synthesize(controls: EngineControls, noise, sample_rate: int = 48000,
             tnow < 0.55,
             0.13 * (1.0 - 0.35 * u_st) * jnp.sin(2 * jnp.pi * starter_ph),
             0.0)
+        # Deliberate fix of a reference quirk: the C++ computes catchEnv
+        # only for t in [0.45, 0.85), so [0.85, 1.0) collapses to the
+        # (already silent) starter; clamping catch to 1 past 0.85 keeps
+        # the voice continuous instead of reproducing the mute gap.
         catch = jnp.clip((tnow - 0.45) / 0.40, 0.0, 1.0)
 
         # Firing fundamental with load-scaled jitter (:211-216).

@@ -45,5 +45,8 @@ def read_wav(path: str):
         elif cid == b"data":
             data = np.frombuffer(body, "<i2")
         pos += 8 + size + (size & 1)
+    assert rate is not None and ch is not None, \
+        f"{path}: no 'fmt ' chunk found"
+    assert data is not None, f"{path}: no 'data' chunk found"
     x = data.astype(np.float32) / 32767.0
     return x.reshape(-1, ch), rate

@@ -93,7 +93,8 @@ _TAP_STRIDE = 6
                  "caster_pos", "caster_range", "light_shadow_index",
                  "strength", "bias_const", "bias_slope", "caster_enabled"],
     meta_fields=["spot_size", "point_size", "pcf_radius", "kinds",
-                 "base_slots", "vis_scale", "vis_crop"],
+                 "base_slots", "vis_scale", "vis_crop", "filter_mode",
+                 "esm_c"],
 )
 @dataclasses.dataclass(frozen=True)
 class LocalShadowMaps:
@@ -129,6 +130,10 @@ class LocalShadowMaps:
                                    # (ch, cw) or ((ch0,cw0),(ch1,cw1),...)
                                    # smallest-first; () = full-screen
                                    # (exact either way)
+    filter_mode: str = "pcf"       # "pcf" (reference-exact window gather)
+                                   # | "esm" (prefiltered soft map, one
+                                   # 1-lane fetch per pixel; PARITY.md)
+    esm_c: float = 80.0
 
     @property
     def n_shadowed(self) -> int:
@@ -265,7 +270,8 @@ def _stack_slot_setups(ts, slot_h: int):
 
 
 def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
-                       use_tiled, pcf_radius, slot_enabled=None):
+                       use_tiled, pcf_radius, slot_enabled=None,
+                       filter_mode="pcf", esm_c=80.0, slot_far=None):
     """Depth-render every slot of one stack and pack its tap table.
 
     One lax.map over slots runs setup + depth raster per slot — measured
@@ -323,6 +329,22 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
         depth = jax.lax.map(render_slot, (vp_stack, slot_enabled))
     from lsr_tpu.lighting import shadow_sample as _ss
 
+    if filter_mode == "esm":
+        # One packed soft table per stack: slot s occupies rows
+        # [s*S*S/2, (s+1)*S*S/2).  The (2r+1)^2 box is baked in by the
+        # prefilter; sampling is one 1-lane fetch per (pixel, light).
+        # Perspective slots filter LINEARIZED depth (see _linearize01);
+        # the far clear value 1.0 maps to lin01 = 1.0 either way.
+        fars = (jnp.full((depth.shape[0],), 1.0, jnp.float32)
+                if slot_far is None else jnp.asarray(slot_far, jnp.float32))
+
+        def soft_one(d, f):
+            if slot_far is not None:
+                d = _linearize01(d, jnp.float32(_SHADOW_NEAR), f)
+            return _ss.pack_soft_u16(_ss.prefilter_esm(d, pcf_radius,
+                                                       esm_c))
+
+        return jax.vmap(soft_one)(depth, fars).reshape(-1)
     pack = (_ss.pack_shadow_taps_u16 if _ss.TAPS_U16 else pack_shadow_taps)
     taps = jax.vmap(lambda d: pack(d, pcf_radius, _TAP_STRIDE))(depth)
     return taps.reshape(depth.shape[0] * taps.shape[1], -1)
@@ -374,7 +396,7 @@ def shadow_index_for_lights(lights: LightsSoA, spot_ids, point_ids):
     jax.jit,
     static_argnames=("spot_ids", "point_ids", "map_size", "point_size",
                      "pcf_radius", "cap", "use_tiled", "vis_scale",
-                     "vis_crop"),
+                     "vis_crop", "filter_mode", "esm_c"),
 )
 def render_local_shadow_maps(
     geom,
@@ -392,6 +414,8 @@ def render_local_shadow_maps(
     vis_scale: int = 1,
     vis_crop: tuple = (),
     caster_enabled=None,
+    filter_mode: str = "pcf",
+    esm_c: float = 80.0,
 ) -> LocalShadowMaps:
     """Render every budgeted local shadow slot and pack the sampling tables.
 
@@ -421,16 +445,22 @@ def render_local_shadow_maps(
         spot_en = caster_enabled[:n_spot]
         point_en = jnp.repeat(caster_enabled[n_spot:], 6)
 
+    # Per-slot far planes (= the light camera far, _spot_viewproj /
+    # _point_face_viewprojs): ESM filters linearized depth.
+    slot_fars = jnp.maximum(jnp.stack(caster_range),
+                            _SHADOW_NEAR + 0.2) if kinds else None
     spot_taps = None
     if spot_vp.shape[0]:
         spot_taps = _render_slot_stack(
             geom, objects, spot_vp, map_size, caster_mask, use_tiled,
-            pcf_radius, slot_enabled=spot_en)
+            pcf_radius, slot_enabled=spot_en, filter_mode=filter_mode,
+            esm_c=esm_c, slot_far=slot_fars[:n_spot])
     point_taps = None
     if point_vp.shape[0]:
         point_taps = _render_slot_stack(
             geom, objects, point_vp, point_size, caster_mask, use_tiled,
-            pcf_radius, slot_enabled=point_en)
+            pcf_radius, slot_enabled=point_en, filter_mode=filter_mode,
+            esm_c=esm_c, slot_far=jnp.repeat(slot_fars[n_spot:], 6))
 
     # Per-light index into the visibility stack: K for "unshadowed".
     idx = shadow_index_for_lights(lights, spot_ids, point_ids)
@@ -454,6 +484,8 @@ def render_local_shadow_maps(
         base_slots=tuple(base_slots),
         vis_scale=vis_scale,
         vis_crop=_crop_sizes(vis_crop),
+        filter_mode=filter_mode,
+        esm_c=float(esm_c),
     )
 
 
@@ -510,6 +542,43 @@ def _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, size: int, slot_rows):
     ry = cy - ay_i * stride
     rows = slot_rows + ay_i * n_anchor + ax_i
     return rows, rx, ry, in_map
+
+
+def _linearize01(z01, zn, zf):
+    """Perspective NDC01 depth -> linear [0,1] view depth.
+
+    perspective_lh_no gives z01 = zf*(z - zn)/((zf - zn)*z); inverting and
+    normalizing, lin01 = zn*z01 / (zf - z01*(zf - zn)).  ESM must filter in
+    LINEAR depth: NDC01 compresses the far field so hard that a 2-meter
+    occluder-receiver gap shrinks to ~0.006 z01 units (measured in
+    tests/test_esm_shadows.py's first failure), inside the exp falloff
+    width 4/c — the estimator would light-bleed everywhere.  The sun map is
+    orthographic (already linear) and skips this."""
+    return zn * z01 / (zf - z01 * (zf - zn))
+
+
+def _uvz_to_texel(u, v, z01, pw, w_ok, in_reach, size: int):
+    """ESM variant of _uvz_to_rows: flat row-major texel index (slot-local)
+    at the PCF anchor texel plus the in_map mask."""
+    in_map = (
+        w_ok & in_reach & (pw > 0.0)
+        & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+        & (z01 > 0.0) & (z01 < 1.0)
+    )
+    cx = jnp.clip(jnp.round(u * (size - 1)), 0, size - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(v * (size - 1)), 0, size - 1).astype(jnp.int32)
+    return cy * size + cx, in_map
+
+
+def _esm_vis(tab, idx, in_map, z_test, strength, esm_c):
+    """Soft-map fetch + ESM estimator + strength mix (one 1-lane gather
+    row per pixel; see shadow_sample.prefilter_esm for the filter math)."""
+    from lsr_tpu.lighting.shadow_sample import esm_visibility, fetch_soft
+
+    soft = fetch_soft(tab, jnp.where(in_map, idx, 0))
+    lit = esm_visibility(soft, z_test, esm_c)
+    vis = 1.0 + (lit - 1.0) * jnp.clip(strength, 0.0, 1.0)
+    return jnp.where(in_map, vis, 1.0)
 
 
 def _bias_ndl(sh, pos, world_pos, normal):
@@ -636,9 +705,24 @@ def _spot_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
     v = (py / w_safe) * 0.5 + 0.5
     z01 = (pz / w_safe) * 0.5 + 0.5
     s = sh.spot_size
+    in_reach = jnp.ones(pw.shape, bool)
+    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
+
+    if sh.filter_mode == "esm":
+        # Per-slot soft-table slice (S*S/2 packed rows per slot), one
+        # 1-lane fetch per pixel at the anchor texel.
+        half = (s * s) // 2
+        tab = jax.lax.dynamic_slice_in_dim(sh.spot_taps, base * half,
+                                           half, 0)
+        if TAPS_BARRIER:
+            tab = jax.lax.optimization_barrier(tab)
+        idx, in_map = _uvz_to_texel(u, v, z01, pw, w_ok, in_reach, s)
+        far = jnp.maximum(sh.caster_range[k], _SHADOW_NEAR + 0.2)
+        z_lin = _linearize01(z01, jnp.float32(_SHADOW_NEAR), far)
+        return _esm_vis(tab, idx, in_map, z_lin - bias[0],
+                        sh.strength[k], sh.esm_c)
     n_anchor = -(-s // _TAP_STRIDE)
     na2 = n_anchor * n_anchor
-    in_reach = jnp.ones(pw.shape, bool)
     # SLOT-LOCAL rows + a per-slot table slice: the gather row rate is
     # table-size-bound (see _pcf_from_rows), and clamping out-of-cone
     # pixels to local row 0 keeps the working set inside the slot.
@@ -646,7 +730,6 @@ def _spot_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
         u, v, z01, pw, w_ok, in_reach, s, jnp.int32(0))
     rows = jnp.where(in_map, rows, 0)
     tab = jax.lax.dynamic_slice_in_dim(sh.spot_taps, base * na2, na2, 0)
-    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
     if TAPS_BARRIER:
         # Materialize the slot's table slice contiguously: the gather row
         # rate is TABLE-size-bound, and a slice fused into the gather
@@ -727,16 +810,31 @@ def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
     v = (py / w_safe) * 0.5 + 0.5
     z01 = (pz / w_safe) * 0.5 + 0.5
     s = sh.point_size
+    in_reach = (rel_len > 1e-4) & (rel_len < rng)
+    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
+
+    if sh.filter_mode == "esm":
+        # Light-local soft slice (6 faces x S*S/2 packed rows); the face
+        # index offsets into the slice, one 1-lane fetch per pixel.
+        half = (s * s) // 2
+        tab = jax.lax.dynamic_slice_in_dim(sh.point_taps, base * half,
+                                           6 * half, 0)
+        if TAPS_BARRIER:
+            tab = jax.lax.optimization_barrier(tab)
+        idx, in_map = _uvz_to_texel(u, v, z01, pw, w_ok, in_reach, s)
+        idx = face * (s * s) + idx
+        far = jnp.maximum(rng, _SHADOW_NEAR + 0.2)
+        z_lin = _linearize01(z01, jnp.float32(_SHADOW_NEAR), far)
+        return _esm_vis(tab, idx, in_map, z_lin - bias,
+                        sh.strength[k], sh.esm_c)
     n_anchor = -(-s // _TAP_STRIDE)
     na2 = n_anchor * n_anchor
-    in_reach = (rel_len > 1e-4) & (rel_len < rng)
     # LIGHT-LOCAL rows (face picks the sub-slot) + this light's 6-face
     # table slice: keeps the gather's working set small (_pcf_from_rows).
     rows, rx, ry, in_map = _uvz_to_rows(u, v, z01, pw, w_ok, in_reach, s,
                                         face * na2)
     rows = jnp.where(in_map, rows, 0)
     tab = jax.lax.dynamic_slice_in_dim(sh.point_taps, base * na2, 6 * na2, 0)
-    from lsr_tpu.lighting.shadow_sample import TAPS_BARRIER
     if TAPS_BARRIER:
         # See _spot_plane_one: keep the gather's table the 6-face slice,
         # not a fused view of the whole point stack.

@@ -378,6 +378,12 @@ def shade_fused_pallas(
     """
     if interpret is None:
         interpret = default_interpret()
+    if cap % chunk:
+        # The per-chunk shadowed-flag slots assume chunk-aligned list
+        # boundaries (slot = list_base//chunk + ci); a non-multiple cap
+        # would silently misalign slots across clustered slices.
+        raise ValueError(f"cap ({cap}) must be a multiple of chunk "
+                         f"({chunk})")
     tiles_x = _cdiv(width, tile_w)
     tiles_y = _cdiv(height, tile_h)
     num_tiles = tiles_x * tiles_y

@@ -24,7 +24,8 @@ import jax.numpy as jnp
     jax.tree_util.register_dataclass,
     data_fields=["depth", "light_viewproj", "bias_const", "bias_slope",
                  "strength", "depth_taps"],
-    meta_fields=["pcf_radius", "pcf_step", "tap_stride"],
+    meta_fields=["pcf_radius", "pcf_step", "tap_stride", "filter_mode",
+                 "esm_c"],
 )
 @dataclasses.dataclass(frozen=True)
 class ShadowContext:
@@ -36,7 +37,10 @@ class ShadowContext:
     pcf_radius: int = 2          # 0 = hard
     pcf_step: int = 1            # texel step
     tap_stride: int = 8          # anchor stride of depth_taps windows
-    depth_taps: jnp.ndarray | None = None  # ((S/stride)^2, (stride+2r)^2)
+    depth_taps: jnp.ndarray | None = None  # pcf: ((S/stride)^2, win^2);
+                                 # esm: (S*S/2,) u32 packed soft-map pairs
+    filter_mode: str = "pcf"     # "pcf" (reference-exact) | "esm"
+    esm_c: float = 80.0          # ESM sharpness exponent
 
 
 # Whole-frame fusion knob (A/B'd on hardware by scripts/dbg_frame.py).
@@ -149,6 +153,69 @@ def pack_shadow_taps(depth, radius: int, stride: int = 8):
     return w.reshape(n_anchor * n_anchor, win * win)
 
 
+def prefilter_esm(depth, radius: int, c: float = 80.0):
+    """ESM soft occluder map: log-domain box-filtered exp depth.
+
+    soft(y, x) = ln(mean over the clamped (2r+1)^2 window of exp(c*z)) / c,
+    computed as exp((z-1)*c) so every operand stays in [e^-c, 1] (no f32
+    overflow for any c; c <= ~85 keeps e^-c normal, avoiding TPU
+    flush-to-zero of subnormals).  The box window + edge clamping match the
+    PCF footprint exactly (shadow_sample.hpp:65 clamps per-tap coords; an
+    edge-padded blur is the same operator), so ESM visibility
+    clamp(exp(c*(soft - z_test))) converges to the PCF box average as
+    c -> inf.  Separable: two unrolled (2r+1)-tap passes of dense VPU adds
+    — NO gathers, which is the point: sampling becomes one 1-lane fetch
+    per (pixel, light) instead of a win^2-lane window gather
+    (ARCHITECTURE.md round-4 ledger; the round-3 gather-floor finding).
+
+    Returns (S, S) f32 soft depth; log-mean-exp lies in [window min,
+    window max] so the result stays in [0, 1].
+    """
+    if radius <= 0:
+        return depth
+    k = 2 * radius + 1
+    e = jnp.exp((depth - 1.0) * c)
+    p = jnp.pad(e, radius, mode="edge")
+    rows = sum(p[i:i + depth.shape[0], :] for i in range(k))
+    both = sum(rows[:, i:i + depth.shape[1]] for i in range(k))
+    mean = both * jnp.float32(1.0 / (k * k))
+    return jnp.log(mean) * jnp.float32(1.0 / c) + 1.0
+
+
+def pack_soft_u16(soft):
+    """(S, S) f32 [0,1] soft map -> (S*S/2,) u32, texel pairs per lane.
+
+    Lane i packs texels 2i (low) and 2i+1 (high) of the row-major flat
+    map.  Halving the table bytes raises the gather row rate (the rate is
+    table-size-bound; see pack_shadow_taps' cost notes)."""
+    flat = _quantize_q16(soft).astype(jnp.uint32).reshape(-1)
+    if flat.shape[0] % 2:
+        raise ValueError("pack_soft_u16 needs an even texel count")
+    return flat[0::2] | (flat[1::2] << 16)
+
+
+def fetch_soft(packed, idx):
+    """Fetch f32 [0,1] soft depths for flat row-major texel indices.
+
+    packed: (T/2,) u32 from pack_soft_u16 (possibly a per-slot slice);
+    idx: any-shape i32 flat texel ids local to `packed`'s map. ONE 1-lane
+    gather row per element."""
+    from lsr_tpu.core.gather import take_rows
+
+    w = take_rows(packed, idx >> 1)
+    lo = (w & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (w >> jnp.uint32(16)).astype(jnp.float32)
+    q = jnp.where((idx & 1) == 0, lo, hi)
+    return q * jnp.float32(1.0 / 65535.0)
+
+
+def esm_visibility(soft_z, z_test, c: float):
+    """clamp(exp(c * (soft_z - z_test)), 0, 1): ~1 where the receiver is at
+    or in front of the filtered occluder depth, exponential falloff with
+    the depth gap behind it (the classic ESM estimator)."""
+    return jnp.clip(jnp.exp((soft_z - z_test) * jnp.float32(c)), 0.0, 1.0)
+
+
 def make_shadow_context(
     depth,
     light_viewproj,
@@ -158,8 +225,15 @@ def make_shadow_context(
     pcf_radius: int = 2,
     pcf_step: int = 1,
     tap_stride: int = 8,
+    filter_mode: str = "pcf",
+    esm_c: float = 80.0,
 ) -> ShadowContext:
-    if pcf_radius > 0 and pcf_step == 1:
+    if filter_mode == "esm" and pcf_radius > 0:
+        taps = pack_soft_u16(prefilter_esm(depth, pcf_radius, esm_c))
+    elif filter_mode == "esm":
+        filter_mode = "pcf"  # radius 0 is a single hard tap either way
+        taps = None
+    elif pcf_radius > 0 and pcf_step == 1:
         taps = (pack_shadow_taps_u16(depth, pcf_radius, tap_stride)
                 if TAPS_U16
                 else pack_shadow_taps(depth, pcf_radius, tap_stride))
@@ -180,6 +254,8 @@ def make_shadow_context(
         pcf_step=int(pcf_step),
         tap_stride=tap_stride,
         depth_taps=taps,
+        filter_mode=filter_mode,
+        esm_c=float(esm_c),
     )
 
 
@@ -225,6 +301,15 @@ def shadow_visibility_dir(shadow: ShadowContext, world_pos, ndotl):
 
     if r == 0:
         vis = (z_test <= fetch(0, 0)).astype(jnp.float32)
+    elif shadow.filter_mode == "esm" and shadow.depth_taps is not None:
+        # ESM: the (2r+1)^2 box filter is baked into the soft map
+        # (prefilter_esm), so sampling is ONE 1-lane fetch per pixel at the
+        # PCF anchor texel — the round-4 gather-floor fix.  Deviation class:
+        # exp-filtered visibility approximates the PCF box average
+        # (documented in PARITY.md; exact PCF stays the default path).
+        idx = jnp.clip(cy, 0, sh - 1) * sw + jnp.clip(cx, 0, sw - 1)
+        soft = fetch_soft(shadow.depth_taps, idx)
+        vis = esm_visibility(soft, z_test, shadow.esm_c)
     elif shadow.depth_taps is not None and step == 1:
         # Packed path: ONE wide gather fetches the strided anchor window
         # that covers this pixel's whole (2r+1)^2 PCF footprint (see

@@ -339,6 +339,48 @@ def part_frame():
           f"deltas expected)")
 
 
+def part_esm():
+    """Round-4 A/B: ESM prefiltered shadow filtering vs exact PCF, at the
+    whole-frame level (the only truth) + the vis-stack stage.  Also probes
+    ESM with half-res local maps (the prefilter makes half-res viable at
+    unchanged visual budgets — VERDICT r3 item 4)."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    variants = {
+        "pcf(baseline)": dict(shadow_filter="pcf"),
+        "esm": dict(shadow_filter="esm"),
+        "esm-half-atlas": dict(shadow_filter="esm", local_map=512,
+                               local_point=256),
+        "esm-nocrop": dict(shadow_filter="esm", vis_crop=()),
+    }
+    fns = {}
+    for name, kw in variants.items():
+        kw.setdefault("vis_crop", crop)
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    outs = {}
+    for rnd in range(2):  # interleaved rounds
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
+                                  cam, ctx)
+    base = np.asarray(outs["pcf(baseline)"]).astype(int)
+    for name in variants:
+        if name == "pcf(baseline)":
+            continue
+        d = np.abs(np.asarray(outs[name]).astype(int) - base)
+        print(f"  {name} vs pcf: max|d| {d.max()} "
+              f"frac>2LSB {(d.max(-1) > 2).mean():.3e} "
+              f"(penumbra-only deltas expected)")
+
+
 def part_r3ab():
     """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
     (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
@@ -561,6 +603,8 @@ if __name__ == "__main__":
         part_cull()
     if which in ("r3ab",):
         part_r3ab()
+    if which in ("esm",):
+        part_esm()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):
