@@ -42,7 +42,9 @@ def main():
     # reference counts VK pipeline rebuilds the same way).
     pipelines = {}
     rebuilds = 0
-    for preset in builtin_render_path_presets():
+    from lsr_tpu.pipeline.recipe import ssao_composition_recipe
+
+    for preset in builtin_render_path_presets() + [ssao_composition_recipe()]:
         import dataclasses
 
         recipe = dataclasses.replace(preset, post_stack=("fxaa",))

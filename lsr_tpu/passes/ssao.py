@@ -25,7 +25,19 @@ def _spiral_offsets(samples: int, radius_px: float):
 def ssao_pass(gb, zn, zf, samples: int = 12, radius_px: float = 8.0,
               strength: float = 1.0, depth_bias: float = 0.002,
               depth_range: float = 0.02):
-    depth = gb.depth01
+    return ssao_depth_pass(gb.depth01, gb.covered, zn, zf, samples=samples,
+                           radius_px=radius_px, strength=strength,
+                           depth_bias=depth_bias, depth_range=depth_range)
+
+
+@functools.partial(jax.jit, static_argnames=("samples", "radius_px"))
+def ssao_depth_pass(depth, covered, zn, zf, samples: int = 12,
+                    radius_px: float = 8.0, strength: float = 1.0,
+                    depth_bias: float = 0.002, depth_range: float = 0.02):
+    """Depth-only AO core: runs straight off a depth prepass, so the classic
+    forward path can register SSAO without a G-buffer pass — the
+    reference's custom ssao_forward runs after its depth prepass the same
+    way (demo_forward_classic_renderpath.cpp:113, fp_stress_ssao.comp)."""
     h, w = depth.shape
     offsets = _spiral_offsets(samples, radius_px)
 
@@ -49,4 +61,4 @@ def ssao_pass(gb, zn, zf, samples: int = 12, radius_px: float = 8.0,
         for dx in (-1, 0, 1):
             acc = acc + jnp.roll(jnp.roll(ao, dy, axis=0), dx, axis=1)
     ao = acc / 9.0
-    return jnp.where(gb.covered, jnp.clip(ao, 0.0, 1.0), 1.0)
+    return jnp.where(covered, jnp.clip(ao, 0.0, 1.0), 1.0)

@@ -382,17 +382,28 @@ class ClusterLightAssignPass(RenderPass):
 
 
 class SsaoPass(RenderPass):
+    """Depth-only AO after the depth prepass (the reference's classic path
+    registers ssao_forward as a custom pass the same way,
+    demo_forward_classic_renderpath.cpp:113-114); works in every technique
+    mode since only scene depth is consumed."""
+
     def __init__(self):
-        super().__init__("ssao", reads=("gbuffer", "depth"),
+        # Declared read is "tid" (written ONLY by depth_prepass/gbuffer):
+        # the depth buffer it samples is the same raster product, but
+        # "depth" is ALSO re-declared by the lighting passes, and a
+        # depth-read edge from them would cycle against their ssao_mask
+        # read.  tid orders ssao strictly after the prepass raster.
+        super().__init__("ssao", reads=("tid",),
                          writes=("ssao_mask",),
                          contract=STANDARD_CONTRACTS["ssao"])
 
     def execute_resolved(self, ctx, state, fp, request):
-        from lsr_tpu.passes.ssao import ssao_pass
+        from lsr_tpu.passes.ssao import ssao_depth_pass
 
         cam = state["camera"]
         out = dict(state)
-        out["ssao_mask"] = ssao_pass(state["gbuffer"], cam.zn, cam.zf)
+        out["ssao_mask"] = ssao_depth_pass(
+            state["depth"], state["tid"] >= 0, cam.zn, cam.zf)
         return out
 
 
@@ -511,10 +522,14 @@ class ForwardPass(_LightingBase):
     use_local_lights = True
 
     def __init__(self):
+        # optional ssao_mask: orders an ssao pass BEFORE lighting when one
+        # is in the chain (the classic+ssao composition) without gating the
+        # plain chains that have no ssao producer.
         super().__init__("pbr_forward",
                          reads=("geom", "objects", "camera", "shade_ctx"),
                          writes=("hdr", "gbuffer", "depth", "velocity"),
-                         contract=STANDARD_CONTRACTS["pbr_forward"])
+                         contract=STANDARD_CONTRACTS["pbr_forward"],
+                         optional_reads=("ssao_mask",))
 
     def execute_resolved(self, ctx, state, fp, request):
         state = _raster(state, fp)

@@ -124,7 +124,9 @@ STANDARD_CONTRACTS = {
     ),
     "ssao": PassContract(
         role="post_geometry",
-        consumes=(_ref("scene_depth"), _ref("gbuffer_normal")),
+        # Depth-only AO (fp_stress_ssao.comp's depth term; the normal
+        # reconstruction is not used by this implementation).
+        consumes=(_ref("scene_depth"),),
         produces=(_ref("ssao_mask"),),
     ),
     "deferred_lighting": PassContract(

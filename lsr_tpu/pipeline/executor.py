@@ -24,6 +24,7 @@ class DebugStats:
     """RenderDebugStats analog (core/context.hpp:29)."""
 
     pass_ms: Dict[str, float] = dataclasses.field(default_factory=dict)
+    pass_ms_err: Dict[str, float] = dataclasses.field(default_factory=dict)
     tri_input: int = 0
     tri_after_clip: int = 0
     tri_raster: int = 0

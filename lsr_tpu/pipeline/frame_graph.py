@@ -44,7 +44,9 @@ def compile_frame_graph(passes) -> GraphReport:
     ios = []
     for _, p in active:
         io = p.describe_io()
-        reads = set(io.reads)
+        # optional_reads participate in edge construction (ordering) but
+        # are not execution requirements (render_pass.PassIO).
+        reads = set(io.reads) | set(getattr(io, "optional_reads", ()))
         writes = set(io.writes)
         ios.append((reads, writes))
 

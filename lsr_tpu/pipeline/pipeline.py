@@ -153,7 +153,7 @@ class PluggablePipeline:
         """
         import jax
 
-        from lsr_tpu.utils.devtime import slope_ms
+        from lsr_tpu.utils.devtime import slope_ms_paired
 
         plan = self.build_plan(fp)
         if not plan.ok:
@@ -175,8 +175,12 @@ class PluggablePipeline:
                 self._seg_jits[idx] = jax.jit(
                     lambda s, p=p, req=req: p.execute_resolved(
                         ctx, s, fp, req))
-            state, ms = slope_ms(self._seg_jits[idx], state, iters=iters)
+            # Interleaved paired slopes + >=0 clamp + stderr: published
+            # per-pass rows must be physical (VERDICT r3 item 6).
+            state, ms, err = slope_ms_paired(self._seg_jits[idx], state,
+                                             iters=iters)
             ctx.debug.pass_ms[p.pass_id] = ms
+            ctx.debug.pass_ms_err[p.pass_id] = err
         ctx.debug.frames += 1
         ctx.frame_index += 1
         self._capture_persistent(state)

@@ -220,6 +220,22 @@ def builtin_render_path_presets() -> List[RenderPathRecipe]:
     ]
 
 
+def ssao_composition_recipe() -> RenderPathRecipe:
+    """The classic-forward + SSAO composition: the reference's
+    demo_forward_classic_renderpath registers ssao_forward as a CUSTOM pass
+    in its classic path (demo_forward_classic_renderpath.cpp:113-114,
+    ssao_frames accounting :328).  SSAO runs depth-only off the prepass
+    (occlusion_culling inserts depth_prepass ahead of it); the lighting
+    pass modulates ambient by the mask (standard_passes._LightingBase)."""
+    return RenderPathRecipe(
+        name="forward_classic+ssao",
+        technique=TechniqueMode.FORWARD,
+        pass_chain=("ssao", "pbr_forward"),
+        shadows=True, local_shadows=True, per_frame_culling=True,
+        occlusion_culling=True,
+    )
+
+
 POST_STACK_PRESETS = {
     "minimal": (),
     "default": ("bloom",),

@@ -21,10 +21,16 @@ from typing import Any, Callable, Optional, Sequence
 
 @dataclasses.dataclass(frozen=True)
 class PassIO:
-    """Declared reads/writes on named frame resources (render_pass.hpp:183)."""
+    """Declared reads/writes on named frame resources (render_pass.hpp:183).
+
+    optional_reads order the pass after the resource's producer when one is
+    in the chain but do NOT gate the execution request — the pass runs
+    (without the input) when no producer exists (e.g. the lighting passes'
+    ssao_mask modulation, present only in the classic+ssao composition)."""
 
     reads: tuple = ()
     writes: tuple = ()
+    optional_reads: tuple = ()
 
 
 @dataclasses.dataclass
@@ -56,9 +62,11 @@ class RenderPass:
         enabled: bool = True,
         fn: Optional[Callable] = None,
         contract=None,
+        optional_reads: Sequence[str] = (),
     ):
         self.pass_id = pass_id
-        self._io = PassIO(tuple(reads), tuple(writes))
+        self._io = PassIO(tuple(reads), tuple(writes),
+                          tuple(optional_reads))
         self.preferred_backend = preferred_backend
         self.enabled = enabled
         self._fn = fn

@@ -191,6 +191,45 @@ class SoakAcceptance:
     max_cycle_failures: int = 0
 
 
+def _soak_controls(drain_every: int):
+    """Build the same-window control probes (VERDICT r3 item 3): a NO-OP
+    frame (one tiny jitted add dispatched `drain_every` times + one drain —
+    the pure dispatch/drain floor per frame) and a FIXED-WORK probe (a
+    constant 8x512^2-matmul chain — device throughput, identical every
+    call).  Run at cycle boundaries, they separate tunnel/backend
+    degradation from renderer time with data instead of assertion."""
+    import jax.numpy as jnp
+
+    noop_j = jax.jit(lambda x: x + 1.0)
+    a0 = jnp.ones((512, 512), jnp.float32)
+
+    def fixed_body(a):
+        for _ in range(8):
+            a = a @ a0
+        return a
+
+    fixed_j = jax.jit(fixed_body)
+
+    def run_controls():
+        from lsr_tpu.utils.devtime import probe
+
+        x = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(drain_every):
+            x = noop_j(x)
+        probe(x)
+        noop_ms = (time.perf_counter() - t0) * 1000.0 / drain_every
+        t0 = time.perf_counter()
+        y = fixed_j(a0)
+        probe(y)
+        fixed_ms = (time.perf_counter() - t0) * 1000.0
+        return noop_ms, fixed_ms
+
+    # Warm the control programs outside any timed window.
+    run_controls()
+    return run_controls
+
+
 def run_soak(
     compositions: Dict[str, Callable[[int], object]],
     duration_s: float = 180.0,
@@ -202,6 +241,7 @@ def run_soak(
     run_id: str | None = None,
     floor_ms: float = 0.0,
     drain_every: int = 30,
+    controls: bool = True,
 ):
     """Cycle compositions until duration_s elapses, perturbing between cycles
     (configure-toggle stress, hello_rendering_paths.cpp:1754).  Returns a
@@ -211,11 +251,18 @@ def run_soak(
     `drain_every` frames; each drain's `floor_ms` constant is credited
     back, so avg_frame_ms is net device throughput and the acceptance
     threshold applies net-of-floor (VERDICT r2 weak #3).
+
+    With `controls` on, a no-op-frame drain and a fixed-work probe run at
+    every cycle boundary and land in G_control rows (_soak_controls), so a
+    degraded window is measured in the same run instead of asserted
+    (VERDICT r3 item 3); control time is excluded from busy_ms.
     """
     from lsr_tpu.utils.devtime import probe
 
     acceptance = acceptance or SoakAcceptance()
     names = list(compositions)
+    run_controls = _soak_controls(drain_every) if controls else None
+    control_noop, control_fixed = [], []
     t_start = time.perf_counter()
     frame = 0
     cycle = 0
@@ -223,6 +270,17 @@ def run_soak(
     busy_ms = 0.0
     drains = 0
     while time.perf_counter() - t_start < duration_s:
+        if run_controls is not None:
+            noop_ms, fixed_ms = run_controls()
+            control_noop.append(noop_ms)
+            control_fixed.append(fixed_ms)
+            if jsonl_path:
+                write_jsonl(jsonl_path, [{
+                    "phase": "G_control", "cycle": cycle,
+                    "noop_ms_per_frame": round(noop_ms, 3),
+                    "fixed_work_ms": round(fixed_ms, 2),
+                    **({"run_id": run_id} if run_id else {}),
+                }])
         name = names[cycle % len(names)]
         fn = compositions[name]
         if perturb is not None:
@@ -264,6 +322,19 @@ def run_soak(
             failures += 1
         cycle += 1
 
+    if run_controls is not None:
+        # Bracket the window: one more control sample after the last cycle
+        # so a run that degraded mid-soak shows it at both ends.
+        noop_ms, fixed_ms = run_controls()
+        control_noop.append(noop_ms)
+        control_fixed.append(fixed_ms)
+        if jsonl_path:
+            write_jsonl(jsonl_path, [{
+                "phase": "G_control", "cycle": cycle,
+                "noop_ms_per_frame": round(noop_ms, 3),
+                "fixed_work_ms": round(fixed_ms, 2),
+                **({"run_id": run_id} if run_id else {}),
+            }])
     avg_ms = busy_ms / max(frame, 1)
     rebuilds = rt_registry.rebuild_count if rt_registry is not None else 0
     ok = (
@@ -278,6 +349,11 @@ def run_soak(
         "floor_ms": round(floor_ms, 2), "drains": drains,
         **({"run_id": run_id} if run_id else {}),
     }
+    if control_noop:
+        report["control_noop_ms_min"] = round(min(control_noop), 3)
+        report["control_noop_ms_max"] = round(max(control_noop), 3)
+        report["control_fixed_ms_min"] = round(min(control_fixed), 2)
+        report["control_fixed_ms_max"] = round(max(control_fixed), 2)
     if jsonl_path:
         write_jsonl(jsonl_path, [report])
     return report

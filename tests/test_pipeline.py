@@ -253,6 +253,24 @@ def test_builtin_presets_compile():
             > rep.passes.index("shadow_map")
 
 
+def test_ssao_composition_compiles():
+    """forward_classic+ssao (demo_forward_classic_renderpath.cpp:113-114
+    registers ssao as a custom pass): ssao must land after the depth
+    prepass that feeds it and before the lighting pass that consumes the
+    mask."""
+    from lsr_tpu.pipeline.recipe import ssao_composition_recipe
+
+    reg = _registry_with(
+        "scene_cull", "shadow_map", "local_shadows", "depth_prepass",
+        "ssao", "pbr_forward", "tonemap",
+    )
+    rep = compile_recipe(ssao_composition_recipe(), reg)
+    assert rep.ok, rep.errors
+    assert "ssao" in rep.passes
+    assert rep.passes.index("ssao") > rep.passes.index("depth_prepass")
+    assert rep.passes.index("ssao") < rep.passes.index("pbr_forward")
+
+
 def test_pipeline_end_to_end_with_dummy_backend():
     pipe = PluggablePipeline()
     be = DummyBackend("xla")
