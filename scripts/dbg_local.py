@@ -381,6 +381,56 @@ def part_esm():
               f"(penumbra-only deltas expected)")
 
 
+def part_esm2():
+    """Round-4 sweep #2: attribute the ESM frame's time at WHOLE-FRAME
+    level (knockouts) and probe the compounding levers — half-res atlas,
+    half-res visibility planes (vis_scale=2: ESM penumbrae are low-
+    frequency, so strided evaluation + bilinear up is the principled
+    companion), fused resolve, and a 1024^2 ESM sun map."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    base_kw = dict(shadow_filter="esm", local_map=512, local_point=256,
+                   vis_crop=crop)
+    variants = {
+        "pcf(anchor)": dict(shadow_filter="pcf", vis_crop=crop),
+        "esm-half": dict(base_kw),
+        "esm-half-vs2": dict(base_kw, vis_scale=2),
+        "esm-half-vs2-resolve": dict(base_kw, vis_scale=2,
+                                     use_resolve=True,
+                                     resolve_layout="lanes"),
+        "esm-half-nolocal": dict(base_kw, with_local=False),
+        "esm-half-vs2-sun1024": dict(base_kw, vis_scale=2,
+                                     shadow_size=1024),
+        "esm-quarter-vs2": dict(shadow_filter="esm", local_map=256,
+                                local_point=128, vis_scale=2,
+                                vis_crop=crop),
+    }
+    fns = {}
+    for name, kw in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    outs = {}
+    for rnd in range(2):  # interleaved rounds
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
+                                  cam, ctx)
+    base = np.asarray(outs["pcf(anchor)"]).astype(int)
+    for name in variants:
+        if name in ("pcf(anchor)", "esm-half-nolocal"):
+            continue
+        d = np.abs(np.asarray(outs[name]).astype(int) - base)
+        print(f"  {name} vs pcf: max|d| {d.max()} "
+              f"frac>2LSB {(d.max(-1) > 2).mean():.3e}")
+
+
 def part_r3ab():
     """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
     (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
@@ -605,6 +655,8 @@ if __name__ == "__main__":
         part_r3ab()
     if which in ("esm",):
         part_esm()
+    if which in ("esm2",):
+        part_esm2()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):
