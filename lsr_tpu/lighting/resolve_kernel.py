@@ -66,7 +66,13 @@ def _resolve_kernel(
     counts_ref, z_ref, lrec_ref, in_ref, *rest,
     chunk: int, tiles_x: int, sun_model: str, tile_h: int, tile_w: int,
     rec_layout: str = "planes", n_vis: int = 0,
+    light_kinds: tuple | None = None,
 ):
+    # Static light-type specialization (see shade_kernel._shade_kernel):
+    # math for types absent from light_kinds is dropped, bit-exact.
+    has_spot = light_kinds is None or LIGHT_SPOT in light_kinds
+    has_rect = light_kinds is None or LIGHT_RECT_AREA in light_kinds
+    has_tube = light_kinds is None or LIGHT_TUBE_AREA in light_kinds
     if n_vis:
         vis_ref, out_ref = rest
     else:
@@ -213,9 +219,12 @@ def _resolve_kernel(
             il = jax.lax.rsqrt(jnp.maximum(a_ * a_ + b_ * b_ + c_ * c_, 1e-16))
             return a_ * il, b_ * il, c_ * il
 
-        fwdx, fwdy, fwdz = unit3(f(4), f(5), f(6))
-        upx, upy, upz = unit3(f(7), f(8), f(9))
-        axx, axy, axz = unit3(f(10), f(11), f(12))
+        if has_spot or has_rect:
+            fwdx, fwdy, fwdz = unit3(f(4), f(5), f(6))
+        if has_rect:
+            upx, upy, upz = unit3(f(7), f(8), f(9))
+        if has_tube:
+            axx, axy, axz = unit3(f(10), f(11), f(12))
         colr, colg, colb = f(13), f(14), f(15)
         intensity = f(16)
         rng = jnp.maximum(f(17), 0.001)
@@ -229,49 +238,54 @@ def _resolve_kernel(
         abias = jnp.maximum(f(26), 1e-5)
         acut = f(27)
 
-        rx0 = upy * fwdz - upz * fwdy
-        ry0 = upz * fwdx - upx * fwdz
-        rz0 = upx * fwdy - upy * fwdx
-        rx0, ry0, rz0 = unit3(rx0, ry0, rz0)
-        u2x = fwdy * rz0 - fwdz * ry0
-        u2y = fwdz * rx0 - fwdx * rz0
-        u2z = fwdx * ry0 - fwdy * rx0
-        u2x, u2y, u2z = unit3(u2x, u2y, u2z)
-        rx = u2y * fwdz - u2z * fwdy
-        ry = u2z * fwdx - u2x * fwdz
-        rz = u2x * fwdy - u2y * fwdx
-        rx, ry, rz = unit3(rx, ry, rz)
-
         is_spot = ltype == float(LIGHT_SPOT)
         is_rect = ltype == float(LIGHT_RECT_AREA)
         is_tube = ltype == float(LIGHT_TUBE_AREA)
 
-        dxp = px[None] - posx
-        dyp = py[None] - posy
-        dzp = pz[None] - posz
-        ux = jnp.clip(dxp * rx + dyp * ry + dzp * rz, -hex_, hex_)
-        uy = jnp.clip(dxp * u2x + dyp * u2y + dzp * u2z, -hey, hey)
-        rectx = posx + rx * ux + u2x * uy
-        recty = posy + ry * ux + u2y * uy
-        rectz = posz + rz * ux + u2z * uy
+        if has_rect or has_tube:
+            dxp = px[None] - posx
+            dyp = py[None] - posy
+            dzp = pz[None] - posz
+        emx, emy, emz = posx, posy, posz
+        if has_rect:
+            rx0 = upy * fwdz - upz * fwdy
+            ry0 = upz * fwdx - upx * fwdz
+            rz0 = upx * fwdy - upy * fwdx
+            rx0, ry0, rz0 = unit3(rx0, ry0, rz0)
+            u2x = fwdy * rz0 - fwdz * ry0
+            u2y = fwdz * rx0 - fwdx * rz0
+            u2z = fwdx * ry0 - fwdy * rx0
+            u2x, u2y, u2z = unit3(u2x, u2y, u2z)
+            rx = u2y * fwdz - u2z * fwdy
+            ry = u2z * fwdx - u2x * fwdz
+            rz = u2x * fwdy - u2y * fwdx
+            rx, ry, rz = unit3(rx, ry, rz)
+            ux = jnp.clip(dxp * rx + dyp * ry + dzp * rz, -hex_, hex_)
+            uy = jnp.clip(dxp * u2x + dyp * u2y + dzp * u2z, -hey, hey)
+            rectx = posx + rx * ux + u2x * uy
+            recty = posy + ry * ux + u2y * uy
+            rectz = posz + rz * ux + u2z * uy
+            emx = jnp.where(is_rect, rectx, emx)
+            emy = jnp.where(is_rect, recty, emy)
+            emz = jnp.where(is_rect, rectz, emz)
 
-        ax2 = axx * (2.0 * thl)
-        ay2 = axy * (2.0 * thl)
-        az2 = axz * (2.0 * thl)
-        a0x = posx - axx * thl
-        a0y = posy - axy * thl
-        a0z = posz - axz * thl
-        denom_seg = jnp.maximum(ax2 * ax2 + ay2 * ay2 + az2 * az2, 1e-8)
-        tseg = jnp.clip(
-            ((px[None] - a0x) * ax2 + (py[None] - a0y) * ay2
-             + (pz[None] - a0z) * az2) / denom_seg, 0.0, 1.0)
-        tubex = a0x + ax2 * tseg
-        tubey = a0y + ay2 * tseg
-        tubez = a0z + az2 * tseg
-
-        emx = jnp.where(is_rect, rectx, jnp.where(is_tube, tubex, posx))
-        emy = jnp.where(is_rect, recty, jnp.where(is_tube, tubey, posy))
-        emz = jnp.where(is_rect, rectz, jnp.where(is_tube, tubez, posz))
+        if has_tube:
+            ax2 = axx * (2.0 * thl)
+            ay2 = axy * (2.0 * thl)
+            az2 = axz * (2.0 * thl)
+            a0x = posx - axx * thl
+            a0y = posy - axy * thl
+            a0z = posz - axz * thl
+            denom_seg = jnp.maximum(ax2 * ax2 + ay2 * ay2 + az2 * az2, 1e-8)
+            tseg = jnp.clip(
+                ((px[None] - a0x) * ax2 + (py[None] - a0y) * ay2
+                 + (pz[None] - a0z) * az2) / denom_seg, 0.0, 1.0)
+            tubex = a0x + ax2 * tseg
+            tubey = a0y + ay2 * tseg
+            tubez = a0z + az2 * tseg
+            emx = jnp.where(is_tube, tubex, emx)
+            emy = jnp.where(is_tube, tubey, emy)
+            emz = jnp.where(is_tube, tubez, emz)
 
         tlx = emx - px[None]
         tly = emy - py[None]
@@ -280,24 +294,33 @@ def _resolve_kernel(
         inv_d = 1.0 / dist
         llx, lly, llz = tlx * inv_d, tly * inv_d, tlz * inv_d
 
-        cos_t = -(llx * fwdx + lly * fwdy + llz * fwdz)
-        cin = jnp.cos(inner)
-        cout = jnp.cos(outer)
-        tt = jnp.clip((cos_t - cout) / jnp.maximum(cin - cout, 1e-5), 0.0, 1.0)
-        spot_shape = jnp.where(cos_t > cout, tt * tt * (3.0 - 2.0 * tt), 0.0)
-        facing = jnp.maximum(-(fwdx * llx + fwdy * lly + fwdz * llz), 0.0)
-        rect_shape = jnp.where(facing > 0.0, 0.65 + 0.55 * facing, 0.0)
-        soft = jnp.clip(1.0 - dist / rng, 0.0, 1.0)
-        tube_shape = 0.75 + 0.35 * soft
-        shaping = jnp.where(is_spot, spot_shape,
-                            jnp.where(is_rect, rect_shape,
-                                      jnp.where(is_tube, tube_shape, 1.0)))
-        spec_pw = jnp.where(is_spot, 34.0,
-                            jnp.where(is_rect, 26.0,
-                                      jnp.where(is_tube, 22.0, 36.0)))
-        spec_sc = jnp.where(is_spot, 0.32,
-                            jnp.where(is_rect, 0.26,
-                                      jnp.where(is_tube, 0.20, 0.30)))
+        shaping = 1.0
+        if has_spot:
+            cos_t = -(llx * fwdx + lly * fwdy + llz * fwdz)
+            cin = jnp.cos(inner)
+            cout = jnp.cos(outer)
+            tt = jnp.clip((cos_t - cout) / jnp.maximum(cin - cout, 1e-5),
+                          0.0, 1.0)
+            spot_shape = jnp.where(cos_t > cout,
+                                   tt * tt * (3.0 - 2.0 * tt), 0.0)
+            shaping = jnp.where(is_spot, spot_shape, shaping)
+        if has_rect:
+            facing = jnp.maximum(-(fwdx * llx + fwdy * lly + fwdz * llz),
+                                 0.0)
+            rect_shape = jnp.where(facing > 0.0, 0.65 + 0.55 * facing, 0.0)
+            shaping = jnp.where(is_rect, rect_shape, shaping)
+        if has_tube:
+            soft = jnp.clip(1.0 - dist / rng, 0.0, 1.0)
+            tube_shape = 0.75 + 0.35 * soft
+            shaping = jnp.where(is_tube, tube_shape, shaping)
+        spec_pw = jnp.where(is_spot, 34.0, 36.0) if has_spot else 36.0
+        spec_sc = jnp.where(is_spot, 0.32, 0.30) if has_spot else 0.30
+        if has_rect:
+            spec_pw = jnp.where(is_rect, 26.0, spec_pw)
+            spec_sc = jnp.where(is_rect, 0.26, spec_sc)
+        if has_tube:
+            spec_pw = jnp.where(is_tube, 22.0, spec_pw)
+            spec_sc = jnp.where(is_tube, 0.20, spec_sc)
 
         norm = jnp.clip(1.0 - dist / rng, 0.0, 1.0)
         smooth = norm * norm * (3.0 - 2.0 * norm)
@@ -399,7 +422,7 @@ def _resolve_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "cap", "chunk",
-                     "sun_model", "interpret", "rec_layout"),
+                     "sun_model", "interpret", "rec_layout", "light_kinds"),
 )
 def resolve_fused_pallas(
     rec,                 # (H, W, 56) gathered interp records (with materials)
@@ -417,6 +440,7 @@ def resolve_fused_pallas(
     rec_layout: str = "planes",
     local_vis_planes=None,
     light_shadow_index=None,
+    light_kinds: tuple | None = None,
 ):
     """Fused interp+shade resolve.  Returns ((H, W, 3) hdr, bin_stats).
 
@@ -484,7 +508,8 @@ def resolve_fused_pallas(
 
     kern = functools.partial(
         _resolve_kernel, chunk=chunk, tiles_x=tiles_x, sun_model=sun_model,
-        tile_h=tile_h, tile_w=tile_w, rec_layout=rec_layout, n_vis=n_vis)
+        tile_h=tile_h, tile_w=tile_w, rec_layout=rec_layout, n_vis=n_vis,
+        light_kinds=light_kinds)
     rec_spec = (
         pl.BlockSpec((64, tile_h, tile_w), lambda i, j, c: (0, i, j),
                      memory_space=pltpu.VMEM)

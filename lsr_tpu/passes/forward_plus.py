@@ -129,6 +129,13 @@ def shade_forward_plus(
             apn = np.asarray(ap)
             if apn.size and bool((apn == 1.0).all()):
                 fast = ("apow1",)
+        # Same trace-time concreteness trick for the light-TYPE set: when
+        # the scene's types are known, the kernel statically drops math
+        # for absent types (bit-exact — see _shade_kernel light_kinds).
+        kinds = None
+        if not isinstance(lights.type, jax.core.Tracer):
+            kinds = tuple(sorted(int(t) for t in
+                                 np.unique(np.asarray(lights.type))))
         lit, bin_stats = shade_fused_pallas(
             gb.world_pos, n, gb.covered,
             albedo, metal[..., 0], rough[..., 0], vis,
@@ -142,7 +149,7 @@ def shade_forward_plus(
             tile_depth_range=tdr, sun_model=sun_model, fastmath=fast,
             local_vis_stack=local_vis, light_shadow_index=shadow_idx,
             cluster_slice_plane=slice_plane, slices=kern_slices,
-            zn=zn, zf=zf,
+            zn=zn, zf=zf, light_kinds=kinds,
         )
         v = _norm(ctx.camera_pos[None, None, :] - gb.world_pos)
         amb = _ambient(ctx, n, v, albedo, metal, rough, ao) + emissive
@@ -360,6 +367,10 @@ def resolve_forward_plus(
     else:
         tex_albedo = jnp.ones(depth01.shape + (3,), jnp.float32)
 
+    kinds = None
+    if not isinstance(lights.type, jax.core.Tracer):
+        kinds = tuple(sorted(int(t) for t in
+                             np.unique(np.asarray(lights.type))))
     hdr, bin_stats = resolve_fused_pallas(
         rec, vis, covered, tex_albedo,
         ctx.camera_pos, ctx.light_dir_ws,
@@ -370,6 +381,7 @@ def resolve_forward_plus(
         rec_layout=rec_layout,
         local_vis_planes=local_vis_planes,
         light_shadow_index=light_shadow_index,
+        light_kinds=kinds,
     )
     return hdr, {"max_lights_per_bin": bin_stats["max_count"],
                  "overflow_bins": bin_stats["overflow_bins"],

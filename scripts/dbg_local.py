@@ -402,15 +402,18 @@ def part_esm2():
         "pcf(anchor)": dict(shadow_filter="pcf", vis_crop=crop),
         "esm-half": dict(base_kw),
         "esm-half-vs2": dict(base_kw, vis_scale=2),
-        "esm-half-vs2-resolve": dict(base_kw, vis_scale=2,
-                                     use_resolve=True,
-                                     resolve_layout="lanes"),
         "esm-half-nolocal": dict(base_kw, with_local=False),
         "esm-half-vs2-sun1024": dict(base_kw, vis_scale=2,
                                      shadow_size=1024),
         "esm-quarter-vs2": dict(shadow_filter="esm", local_map=256,
                                 local_point=128, vis_scale=2,
                                 vis_crop=crop),
+        # LAST: the fused-resolve compile has wedged the remote compiler
+        # before (2.4GB serialized executable -> HTTP 500, r3 note); keep
+        # every other variant's numbers safe if it wedges again.
+        "esm-half-vs2-resolve": dict(base_kw, vis_scale=2,
+                                     use_resolve=True,
+                                     resolve_layout="lanes"),
     }
     fns = {}
     for name, kw in variants.items():

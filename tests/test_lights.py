@@ -311,3 +311,55 @@ def test_clustered_kernel_matches_xla():
     d = np.abs(a - b)
     assert d.mean() < 5e-3, d.mean()
     assert (d.max(-1) > 0.05).mean() < 0.02
+
+
+def test_shade_kernel_light_kinds_specialization():
+    """Static light-type specialization must be BIT-exact: dropping math
+    for types absent from light_kinds changes nothing, and the generic
+    kernel (light_kinds=None) equals the specialized one for the full
+    mixed set too."""
+    from lsr_tpu.lighting.shade_kernel import shade_fused_pallas
+
+    w, h = 96, 64
+    gb, cam = _monkey_gbuffer(w, h)
+    rng = np.random.default_rng(11)
+
+    def build(mixed):
+        b = LightSetBuilder()
+        for i in range(10):
+            p = tuple(rng.uniform([-3, 0, -3], [3, 2, 3]).tolist())
+            c = tuple(rng.uniform(0.3, 1.0, 3).tolist())
+            if mixed and i % 4 == 1:
+                b.rect_area(p, (0, -1, 0), color=c, intensity=1.5,
+                            range=4.0)
+            elif mixed and i % 4 == 2:
+                b.tube_area(p, axis=(1, 0, 0), color=c, intensity=1.5,
+                            range=4.0)
+            elif i % 2 == 0:
+                b.spot(p, (0, -1, 0), color=c, intensity=2.0, range=4.0)
+            else:
+                b.point(p, color=c, intensity=1.5, range=3.0)
+        return b.build()
+
+    eye = jnp.array([0.5, 1.5, -4.0], jnp.float32)
+    albedo = jnp.full((h, w, 3), 0.6, jnp.float32)
+    ones = jnp.ones((h, w), jnp.float32)
+
+    for mixed in (False, True):
+        lights = build(mixed)
+        kinds = tuple(sorted(int(t) for t in
+                             np.unique(np.asarray(lights.type))))
+
+        def run(lk, lights=lights):
+            lit, _ = shade_fused_pallas(
+                gb.world_pos, gb.normal_ws, gb.covered,
+                albedo, 0.2 * ones, 0.5 * ones, ones,
+                eye, jnp.asarray([0.3, -0.7, 0.5], jnp.float32),
+                jnp.asarray([2.0, 2.0, 2.0], jnp.float32),
+                lights, cam.view, cam.proj, w, h,
+                tile_h=16, tile_w=128, cap=32, chunk=8, light_kinds=lk)
+            return np.asarray(lit)
+
+        a = run(None)
+        b_ = run(kinds)
+        assert (a == b_).all(), (mixed, np.abs(a - b_).max())
