@@ -99,7 +99,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                         shadow_size=2048, local_map=1024, local_point=512,
                         with_local=True, with_cull=True, vis_scale=1,
                         vis_crop=(), cap=2048, use_resolve=None,
-                        resolve_layout=None, shadow_filter=None):
+                        resolve_layout=None, shadow_filter=None,
+                        sun_vis_scale=None):
     """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
     structure): per-frame cull -> sun + local shadow atlas -> raster ->
     forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
@@ -137,6 +138,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         # maps, one 1-lane fetch per (pixel, light) — the round-4
         # gather-floor lever (PARITY.md deviation class).
         shadow_filter = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
+    if sun_vis_scale is None:
+        sun_vis_scale = int(os.environ.get("LSR_BENCH_SUN_VIS_SCALE", "1"))
 
     def frame(cam, ctx_t):
         # Full flagship composition (hello_rendering_paths.cpp:8360 frame):
@@ -229,6 +232,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 mode="tiled_depth_range",
                 sun_model="pbr_mr",
                 local_shadows=local_sh,
+                sun_vis_scale=sun_vis_scale,
             )
         ldr = tonemap_pass(hdr)
         ldr = fxaa_pass(ldr)

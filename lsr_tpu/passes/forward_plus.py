@@ -29,7 +29,7 @@ from lsr_tpu.shading.models import SHADING_MODELS, composite_over_background
     jax.jit,
     static_argnames=("width", "height", "tile_size", "cap", "chunk",
                      "mode", "slices", "sun_model", "use_kernel",
-                     "env_probes"),
+                     "env_probes", "sun_vis_scale"),
 )
 def shade_forward_plus(
     gb,
@@ -51,6 +51,7 @@ def shade_forward_plus(
     use_kernel: bool = True,
     local_shadows=None,
     env_probes: bool = False,
+    sun_vis_scale: int = 1,
 ):
     """Full lit HDR frame from a G-buffer + light set.
 
@@ -95,7 +96,17 @@ def shade_forward_plus(
         if ctx.shadow is not None:
             l_dir = _norm(-ctx.light_dir_ws)
             ndl = jnp.maximum(jnp.sum(n * l_dir[None, None], -1), 0.0)
-            vis = shadow_visibility_dir(ctx.shadow, gb.world_pos, ndl)
+            if sun_vis_scale > 1:
+                # Strided sun-visibility evaluation + bilinear up — the
+                # sun analog of LocalShadowMaps.vis_scale (the gather is
+                # row-count-bound, so scale 2 quarters its cost; pair with
+                # the ESM prefilter whose penumbrae are low-frequency).
+                sc = int(sun_vis_scale)
+                vis_s = shadow_visibility_dir(
+                    ctx.shadow, gb.world_pos[::sc, ::sc], ndl[::sc, ::sc])
+                vis = jax.image.resize(vis_s, ndl.shape, "bilinear")
+            else:
+                vis = shadow_visibility_dir(ctx.shadow, gb.world_pos, ndl)
             vis = jnp.where(ndl > 0.0, vis, 1.0)
         else:
             vis = jnp.ones_like(gb.depth01)

@@ -408,6 +408,10 @@ def part_esm2():
         "esm-quarter-vs2": dict(shadow_filter="esm", local_map=256,
                                 local_point=128, vis_scale=2,
                                 vis_crop=crop),
+        "esm-half-vs2-sunvs2": dict(base_kw, vis_scale=2,
+                                    sun_vis_scale=2),
+        "esm-half-vs2-all": dict(base_kw, vis_scale=2, sun_vis_scale=2,
+                                 shadow_size=1024),
         # LAST: the fused-resolve compile has wedged the remote compiler
         # before (2.4GB serialized executable -> HTTP 500, r3 note); keep
         # every other variant's numbers safe if it wedges again.
