@@ -256,12 +256,28 @@ def main():
     frames = int(os.environ.get("LSR_BENCH_FRAMES", "60"))
     warmup = int(os.environ.get("LSR_BENCH_WARMUP", "10"))
     cap = int(os.environ.get("LSR_BENCH_CAP", "2048"))
-    shadow_size = int(os.environ.get("LSR_BENCH_SHADOW", "2048"))
-    local_map = int(os.environ.get("LSR_BENCH_LOCAL_MAP", "1024"))
-    local_point = int(os.environ.get("LSR_BENCH_LOCAL_POINT", "512"))
+    # Production default is the round-4 ESM stack: prefiltered (ESM) sun +
+    # local maps, half-res atlas, half-res visibility planes — 248.3 ->
+    # 162.6 ms whole-frame vs exact-PCF at reference budgets (dbg_local
+    # esm2 A/B, interleaved).  One knob restores the reference-exact
+    # config: LSR_BENCH_SHADOW_FILTER=pcf flips every default back to the
+    # reference budgets (sun 2048^2, spot 1024^2, point 512^2, full-res
+    # vis; hello_rendering_paths.cpp:104-109) and the exact window-PCF
+    # filter the parity tests pin (PARITY.md deviation class).
+    sf = os.environ.get("LSR_BENCH_SHADOW_FILTER", "esm")
+    esm = sf == "esm"
+    shadow_size = int(os.environ.get(
+        "LSR_BENCH_SHADOW", "1024" if esm else "2048"))
+    local_map = int(os.environ.get(
+        "LSR_BENCH_LOCAL_MAP", "512" if esm else "1024"))
+    local_point = int(os.environ.get(
+        "LSR_BENCH_LOCAL_POINT", "256" if esm else "512"))
     with_local = os.environ.get("LSR_BENCH_LOCAL", "1") == "1"
     with_cull = os.environ.get("LSR_BENCH_CULL", "1") == "1"
-    vis_scale = int(os.environ.get("LSR_BENCH_VIS_SCALE", "1"))
+    vis_scale = int(os.environ.get(
+        "LSR_BENCH_VIS_SCALE", "2" if esm else "1"))
+    sun_vis_scale = int(os.environ.get(
+        "LSR_BENCH_SUN_VIS_SCALE", "2" if esm else "1"))
     # "chxcw" e.g. "512x1024"; "" = full-screen; "auto" = half-screen.
     crop_env = os.environ.get("LSR_BENCH_VIS_CROP", "auto")
     if crop_env == "auto":
@@ -278,7 +294,7 @@ def main():
         shadow_size=shadow_size, local_map=local_map,
         local_point=local_point, with_local=with_local,
         with_cull=with_cull, vis_scale=vis_scale, vis_crop=vis_crop,
-        cap=cap)
+        cap=cap, shadow_filter=sf, sun_vis_scale=sun_vis_scale)
 
     frame_j = jax.jit(frame)
 
@@ -336,9 +352,8 @@ def main():
                f"+{len(point_ids)}x6x{local_point}")
     if with_cull:
         wk += " + cull 320x180"
-    sf = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
     if sf != "pcf":
-        wk += f" + {sf} filter"
+        wk += f" + {sf} filter (vis/{vis_scale}, sun vis/{sun_vis_scale})"
     print(
         f"# {fps:.2f} fps ({dt / frames * 1000:.2f} ms/frame), "
         f"{mtris:.2f} Mtris/s at {width}x{height} "
@@ -347,7 +362,7 @@ def main():
     )
     print(json.dumps({
         "metric": (f"flagship_{width}x{height}_{lights.count}lights"
-                   f"_shadow{shadow_size}_fps"),
+                   f"_shadow{shadow_size}_{sf}_fps"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),

@@ -83,22 +83,37 @@ def main():
     if max_bin > cap:
         cap = -(-max_bin // 256) * 256
     print(f"  binned max_bin: {max_bin} -> cap {cap}")
-    f_binned = jax.jit(lambda s: rasterize_tiled(
-        s, w, h, cam.zn, cam.zf, cap=cap)[:2])
-    d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
-    results["binned"] = bench_fn.last_ms
+    d_b = t_b = None
+    note = None
+    try:
+        f_binned = jax.jit(lambda s: rasterize_tiled(
+            s, w, h, cam.zn, cam.zf, cap=cap)[:2])
+        d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
+        results["binned"] = bench_fn.last_ms
+    except Exception as e:  # VMEM stack OOM: the densest tile's bin block
+        # (cap x 16 f32 rows) no longer fits the 16M scoped-vmem budget at
+        # this density (~18K tris in one 128^2 tile) -- production routing
+        # (standard_passes.py) already prefers chunklist past 150K tris.
+        note = (f"binned infeasible at cap={cap}: per-tile bin block "
+                "exceeds scoped VMEM; chunklist is the production path "
+                "at this density")
+        print(f"  rasterize_tiled (binned): SKIPPED -- {note}")
+        print(f"    ({type(e).__name__}: {str(e)[:160]})")
 
     f_chunk = jax.jit(lambda s: rasterize_chunklist(
         s, w, h, cam.zn, cam.zf))
     d_c, t_c, max_cnt = bench_fn("rasterize_chunklist", f_chunk, setup)
     results["chunklist"] = bench_fn.last_ms
     print(f"  chunklist max_chunks_per_tile: {int(np.asarray(max_cnt))}")
-    mism = int(np.asarray(jnp.sum(t_b != t_c)))
-    dmax = float(np.abs(np.asarray(d_b) - np.asarray(d_c)).max())
-    # Depth may differ at ULP level (different loop structure -> different
-    # XLA fma contraction); winners (tids) must match exactly.
-    print(f"  chunklist vs binned: tid mismatches {mism}, "
-          f"max|depth diff| {dmax:.2e}")
+    if t_b is not None:
+        mism = int(np.asarray(jnp.sum(t_b != t_c)))
+        dmax = float(np.abs(np.asarray(d_b) - np.asarray(d_c)).max())
+        # Depth may differ at ULP level (different loop structure ->
+        # different XLA fma contraction); winners (tids) must match exactly.
+        print(f"  chunklist vs binned: tid mismatches {mism}, "
+              f"max|depth diff| {dmax:.2e}")
+    else:
+        d_b, t_b = d_c, t_c  # cross-check direct against chunklist instead
 
     # The direct kernel keeps the packed setup in HBM (per-super DMA), so
     # its 150K routing cap may be stale — measure it at scale too.
@@ -122,6 +137,7 @@ def main():
         "mtris_per_s": round(mtris, 1),
         "setup_ms": round(setup_ms, 2),
         **{f"{k}_ms": round(v, 2) for k, v in results.items()},
+        **({"note": note} if note else {}),
     }))
 
 
