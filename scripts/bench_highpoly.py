@@ -85,20 +85,28 @@ def main():
     print(f"  binned max_bin: {max_bin} -> cap {cap}")
     d_b = t_b = None
     note = None
-    try:
-        f_binned = jax.jit(lambda s: rasterize_tiled(
-            s, w, h, cam.zn, cam.zf, cap=cap)[:2])
-        d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
-        results["binned"] = bench_fn.last_ms
-    except Exception as e:  # VMEM stack OOM: the densest tile's bin block
-        # (cap x 16 f32 rows) no longer fits the 16M scoped-vmem budget at
-        # this density (~18K tris in one 128^2 tile) -- production routing
-        # (standard_passes.py) already prefers chunklist past 150K tris.
+    # Measured infeasibility bound: cap=18176 OOMs the 16M scoped-vmem
+    # stack (17.88M, run 20260819T1114); cap=2048 (flagship) fits.  The
+    # failed compile itself costs ~20 min through the tunnel, so skip
+    # proactively rather than catch -- production routing
+    # (standard_passes.py) already prefers chunklist past 150K tris.
+    if cap > 8192:
         note = (f"binned infeasible at cap={cap}: per-tile bin block "
-                "exceeds scoped VMEM; chunklist is the production path "
-                "at this density")
+                "exceeds scoped VMEM (measured OOM at 18176); chunklist "
+                "is the production path at this density")
         print(f"  rasterize_tiled (binned): SKIPPED -- {note}")
-        print(f"    ({type(e).__name__}: {str(e)[:160]})")
+    else:
+        try:
+            f_binned = jax.jit(lambda s: rasterize_tiled(
+                s, w, h, cam.zn, cam.zf, cap=cap)[:2])
+            d_b, t_b = bench_fn("rasterize_tiled (binned)", f_binned, setup)
+            results["binned"] = bench_fn.last_ms
+        except Exception as e:  # VMEM stack OOM at untested cap sizes
+            note = (f"binned infeasible at cap={cap}: per-tile bin block "
+                    "exceeds scoped VMEM; chunklist is the production path "
+                    "at this density")
+            print(f"  rasterize_tiled (binned): SKIPPED -- {note}")
+            print(f"    ({type(e).__name__}: {str(e)[:160]})")
 
     f_chunk = jax.jit(lambda s: rasterize_chunklist(
         s, w, h, cam.zn, cam.zf))
