@@ -54,6 +54,13 @@ class ShadowPassParams:
     pcf_radius: int = 2
     pcf_step: int = 1
     strength: float = 1.0
+    filter_mode: str = "pcf"   # "pcf" (reference-exact window filter,
+                               # shadow_sample.hpp:65) | "esm" (prefiltered
+                               # soft map, one fetch per pixel — the r4
+                               # production stack, PARITY.md deviation)
+    sun_vis_scale: int = 1     # sampling-resolution divisor for the sun
+                               # visibility plane (2 = half-res + bilinear
+                               # upsample; pairs with filter_mode="esm")
 
 
 @dataclasses.dataclass
@@ -113,6 +120,7 @@ class LocalShadowParams:
                                # light radius = sun's 2.0 at :6397/:6650)
     bias_const: float = 2e-3
     bias_slope: float = 6e-3
+    filter_mode: str = "pcf"   # "pcf" | "esm" (see ShadowPassParams)
     vis_scale: int = 1         # sampling-resolution divisor for the
                                # visibility planes (1 = per-pixel exact;
                                # 2 = half-res + bilinear upsample, a

@@ -83,4 +83,5 @@ def make_sun_shadow(geom, objects, sun_dir_ws, params):
         strength=params.strength,
         pcf_radius=params.pcf_radius,
         pcf_step=params.pcf_step,
+        filter_mode=params.filter_mode,
     )

@@ -238,6 +238,7 @@ class LocalShadowsPass(RenderPass):
             pcf_radius=p.pcf_radius, bias_const=p.bias_const,
             bias_slope=p.bias_slope, vis_scale=p.vis_scale,
             vis_crop=tuple(p.vis_crop), caster_enabled=caster_en,
+            filter_mode=p.filter_mode,
         )
         return out
 
@@ -489,7 +490,8 @@ class _LightingBase(RenderPass):
                 cap=t.max_lights_per_tile, mode=mode,
                 slices=t.cluster_slices, sun_model=fp.shading_model,
                 use_kernel=True,
-                local_shadows=state.get("local_shadow_maps"))
+                local_shadows=state.get("local_shadow_maps"),
+                sun_vis_scale=fp.pass_params.shadow.sun_vis_scale)
             # shade_forward_plus composites a constant background; swap in
             # the frame's actual background plane (sky pass output etc.).
             hdr = jnp.where(gb.covered[..., None], hdr, bg)

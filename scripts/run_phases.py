@@ -131,7 +131,7 @@ _MODE_FOR = {
 def build_preset_pipelines(width, height, presets=None,
                            post=("fxaa",), use_tiled=True,
                            local_map=1024, local_point=512,
-                           with_pipes=False):
+                           with_pipes=False, shadow_filter=None):
     """{preset_name: frame_fn(i) -> ldr} through the real pipeline.
 
     Every preset runs the full flagship workload: scene_cull (frustum +
@@ -149,6 +149,17 @@ def build_preset_pipelines(width, height, presets=None,
     from lsr_tpu.pipeline.recipe import builtin_render_path_presets
 
     from lsr_tpu.pipeline.recipe import ssao_composition_recipe
+
+    # LSR_PHASE_FILTER=esm runs the phases on the round-4 production ESM
+    # stack at its production budgets (sun 1024 + vis/2, spot 512, point
+    # 256, local vis/2 — bench.py defaults); "pcf" (the default here)
+    # keeps every phase row reference-exact so the goldens gate and Phase I
+    # backend parity stay pinned to the exact filter.
+    if shadow_filter is None:
+        shadow_filter = os.environ.get("LSR_PHASE_FILTER", "pcf")
+    esm = shadow_filter == "esm"
+    if esm:
+        local_map, local_point = local_map // 2, local_point // 2
 
     base_state = scene_state(width, height)
     spot_ids, point_ids = plan_shadow_casters(base_state["lights"])
@@ -180,7 +191,13 @@ def build_preset_pipelines(width, height, presets=None,
             fp.pass_params.local_shadow, spot_ids=spot_ids,
             point_ids=point_ids, map_size=local_map,
             point_size=local_point,
-            vis_crop=default_vis_crop(height, width))
+            vis_crop=default_vis_crop(height, width),
+            filter_mode=shadow_filter,
+            **({"vis_scale": 2} if esm else {}))
+        if esm:
+            fp.pass_params.shadow = dataclasses.replace(
+                fp.pass_params.shadow, map_size=1024,
+                filter_mode="esm", sun_vis_scale=2)
 
         reg = make_standard_registry()
         pipe = PluggablePipeline(preexisting_semantics=())
@@ -224,6 +241,7 @@ def main():
     )
 
     run_id = make_run_id()
+    phase_filter = os.environ.get("LSR_PHASE_FILTER", "pcf")
     presets = None
     if os.environ.get("LSR_PHASE_PRESETS"):
         presets = set(os.environ["LSR_PHASE_PRESETS"].split(","))
@@ -266,6 +284,7 @@ def main():
                         "xla_brute": brute[name]} for name in tiled}
         write_jsonl("artifacts/phase_i_backend_parity.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "filter": phase_filter,
             "floor_ms": round(floor_ms, 2), "presets": sorted(comps)}])
         res = run_backend_parity(comps, warmup=2, samples=6, run_id=run_id)
         for name, r in res.items():
@@ -321,6 +340,7 @@ def main():
         h = int(os.environ.get("LSR_PHASE_H", "180"))
         write_jsonl("artifacts/phase_i_post_stacks.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "filter": phase_filter,
             "floor_ms": round(floor_ms, 2),
             "stacks": sorted(POST_STACK_PRESETS)}])
         comps = {}
@@ -372,6 +392,7 @@ def main():
             pipes["forward_plus+full"] = full_p["forward_plus"]
         write_jsonl("artifacts/phase_f_metrics.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "filter": phase_filter,
             "warmup": warmup, "samples": samples,
             "floor_ms": round(floor_ms, 2)}])
         for name, fn in comps.items():
@@ -435,6 +456,7 @@ def main():
             soak_comps[name] = fn
         write_jsonl("artifacts/phase_g_soak.jsonl", [{
             "phase": "header", "run_id": run_id, "w": w, "h": h,
+            "filter": phase_filter,
             "seconds": secs, "variants": len(variants),
             "floor_ms": round(floor_ms, 2)}])
         rep = run_soak(soak_comps, duration_s=secs, frames_per_cycle=240,

@@ -315,3 +315,44 @@ def test_segmented_execution_times_passes():
                 if p.pass_id in ctx.debug.pass_ms]
     assert len(executed) >= 5, ctx.debug.pass_ms
     assert all(np.isfinite(v) for v in ctx.debug.pass_ms.values())
+
+
+@pytest.mark.slow
+def test_preset_esm_filter_mode():
+    """FrameParams filter_mode="esm" (the r4 production stack: prefiltered
+    sun + local maps, half-res vis planes) runs through the preset pipeline
+    and stays close to the exact-PCF image (penumbra-only deltas)."""
+    import dataclasses
+
+    from lsr_tpu.lighting.local_shadows import plan_shadow_casters
+
+    w, h = 96, 64
+    state0 = _scene_state(w, h)
+    spot_ids, point_ids = plan_shadow_casters(state0["lights"])
+    preset = builtin_render_path_presets()[1]  # forward_plus
+    reg = make_standard_registry()
+
+    imgs = {}
+    for mode, vs in (("pcf", 1), ("esm", 2)):
+        fp = FrameParams(width=w, height=h)
+        fp.technique.mode = TechniqueMode.FORWARD_PLUS
+        fp.technique.light_culling = preset.light_culling
+        fp.technique.tile_size = 16
+        fp.technique.max_lights_per_tile = 32
+        fp.raster_tile_h = 16
+        fp.pass_params.shadow = dataclasses.replace(
+            fp.pass_params.shadow, map_size=128, filter_mode=mode,
+            sun_vis_scale=vs)
+        fp.pass_params.local_shadow = dataclasses.replace(
+            fp.pass_params.local_shadow, spot_ids=spot_ids,
+            point_ids=point_ids, map_size=128, point_size=64,
+            filter_mode=mode, vis_scale=vs)
+        pipe = PluggablePipeline(preexisting_semantics=())
+        assert pipe.configure_from_recipe(preset, reg).ok
+        imgs[mode] = np.asarray(
+            pipe.execute(RenderContext(), dict(state0), fp)["ldr"])
+
+    d = np.abs(imgs["esm"].astype(np.int32) - imgs["pcf"].astype(np.int32))
+    frac_big = (d.max(-1) > 8).mean()
+    assert frac_big < 0.10, f"esm diverged on {frac_big:.1%} of pixels"
+    assert d.max() > 0 or True  # identical is fine too at this scale
