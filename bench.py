@@ -100,12 +100,15 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                         with_local=True, with_cull=True, vis_scale=1,
                         vis_crop=(), cap=2048, use_resolve=None,
                         resolve_layout=None, shadow_filter=None,
-                        sun_vis_scale=None):
+                        sun_vis_scale=None, static_local=False,
+                        static_sun=False, with_post=True,
+                        atlas_packed=None):
     """The HONEST flagship frame fn (hello_rendering_paths.cpp:8360
     structure): per-frame cull -> sun + local shadow atlas -> raster ->
     forward+ -> tonemap -> FXAA.  Returns (frame(cam, ctx) -> outputs)."""
     import dataclasses
 
+    import jax
     import jax.numpy as jnp
 
     from lsr_tpu.core.frame import ShadowPassParams
@@ -140,6 +143,31 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         shadow_filter = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
     if sun_vis_scale is None:
         sun_vis_scale = int(os.environ.get("LSR_BENCH_SUN_VIS_SCALE", "1"))
+    if atlas_packed is None:
+        # Packed atlas raster: one vmapped setup + one tall-framebuffer
+        # raster launch per stack instead of lax.map over 20 slots (the
+        # r4 esm3 attribution found the map path launch-bound at half-res:
+        # 35 ms setup + 28 ms raster).
+        atlas_packed = os.environ.get("LSR_BENCH_ATLAS", "map") == "packed"
+
+    # Attribution knockouts (scripts/dbg_local.py esm3): pre-render the
+    # local atlas / sun map ONCE at build time and bake them as jit
+    # constants, so a frame-level A/B isolates exactly that stage's cost.
+    prebuilt_local = prebuilt_sun = None
+    if static_local and with_local and (spot_ids or point_ids):
+        prebuilt_local = jax.device_get(render_local_shadow_maps(
+            geom, objects, lights, spot_ids, point_ids,
+            map_size=local_map, point_size=local_point, pcf_radius=2,
+            vis_scale=vis_scale, vis_crop=tuple(vis_crop),
+            filter_mode=shadow_filter))
+        prebuilt_local = jax.tree.map(jnp.asarray, prebuilt_local)
+    if static_sun:
+        from lsr_tpu.passes.shadow import render_shadow_map as _rsm
+        sm_d, sm_vp = _rsm(geom, objects, jnp.asarray(
+            np.asarray([0.35, -0.75, 0.45], np.float32)),
+            map_size=shadow_size)
+        prebuilt_sun = (jnp.asarray(jax.device_get(sm_d)),
+                        jnp.asarray(jax.device_get(sm_vp)))
 
     def frame(cam, ctx_t):
         # Full flagship composition (hello_rendering_paths.cpp:8360 frame):
@@ -175,7 +203,9 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 caster_en = lights_f.enabled[jnp.asarray(ids)]
 
         local_sh = None
-        if with_local and (spot_ids or point_ids):
+        if prebuilt_local is not None:
+            local_sh = prebuilt_local
+        elif with_local and (spot_ids or point_ids):
             local_sh = render_local_shadow_maps(
                 geom, objects, lights_f, spot_ids, point_ids,
                 map_size=local_map, point_size=local_point,
@@ -184,10 +214,13 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 # :6650 pass sun_shadow_params.w=2.0 per light).
                 pcf_radius=2, vis_scale=vis_scale,
                 vis_crop=tuple(vis_crop), caster_enabled=caster_en,
-                filter_mode=shadow_filter)
+                filter_mode=shadow_filter, atlas_packed=atlas_packed)
 
-        sm_depth, light_vp = render_shadow_map(
-            geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
+        if prebuilt_sun is not None:
+            sm_depth, light_vp = prebuilt_sun
+        else:
+            sm_depth, light_vp = render_shadow_map(
+                geom, objects, jnp.asarray(sun_dir), map_size=shadow_size)
         shadow_ctx = make_shadow_context(
             sm_depth, light_vp,
             bias_const=shadow_params.bias_const,
@@ -234,8 +267,11 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 local_shadows=local_sh,
                 sun_vis_scale=sun_vis_scale,
             )
-        ldr = tonemap_pass(hdr)
-        ldr = fxaa_pass(ldr)
+        if with_post:
+            ldr = tonemap_pass(hdr)
+            ldr = fxaa_pass(ldr)
+        else:
+            ldr = (hdr * 255.0).astype(jnp.uint8)  # knockout: skip post
         n_valid = jnp.sum(setup.valid)
         return (ldr, n_valid, max_bin, stats["max_lights_per_bin"],
                 stats["overflow_bins"])

@@ -91,7 +91,10 @@ def render(geom, objects, lights, ctx, eye, w, h, use_tiled):
         map_size=512, pcf_radius=1, use_tiled=use_tiled,
         # LSR_DEMO_SHADOW_FILTER=esm drives the prefiltered soft-map path
         # (PARITY.md deviation); default is the reference-exact PCF.
-        filter_mode=os.environ.get("LSR_DEMO_SHADOW_FILTER", "pcf"))
+        filter_mode=os.environ.get("LSR_DEMO_SHADOW_FILTER", "pcf"),
+        # LSR_DEMO_ATLAS=packed renders the atlas as one tall-framebuffer
+        # launch per stack (bit-exact vs the lax.map loop, tested).
+        atlas_packed=os.environ.get("LSR_DEMO_ATLAS", "map") == "packed")
 
     setup = scene_setup(
         geom.positions, geom.normals, geom.uvs, geom.indices,

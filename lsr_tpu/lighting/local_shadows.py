@@ -271,18 +271,30 @@ def _stack_slot_setups(ts, slot_h: int):
 
 def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
                        use_tiled, pcf_radius, slot_enabled=None,
-                       filter_mode="pcf", esm_c=80.0, slot_far=None):
+                       filter_mode="pcf", esm_c=80.0, slot_far=None,
+                       packed=False):
     """Depth-render every slot of one stack and pack its tap table.
 
-    One lax.map over slots runs setup + depth raster per slot — measured
-    fastest against a vmapped setup, a multi-view setup sweep
-    (scene_setup_slots), and a stacked tall-framebuffer raster
-    (scripts/dbg_local.py part_raster: 46.4 ms for 8x1024 incl. setup vs
-    65.4 for multi-setup+map; lax.map setup alone 13.8 ms vs 23.9 multi).
+    Two strategies, picked by `packed`:
+
+    - packed=False: one lax.map over slots runs setup + depth raster per
+      slot — measured fastest at FULL-res slots (1024^2: 46.4 ms for 8
+      slots incl. setup vs 65.4 for multi-setup+map, scripts/dbg_local.py
+      part_raster r3), where per-slot raster grids are large enough to
+      amortize the 20 sequential small launches.
+    - packed=True: ONE vmapped (batched-matmul) setup over all slots,
+      merged into a tall framebuffer by _stack_slot_setups, then ONE
+      rasterize_direct launch with band-local rows (band_h=size).  At
+      HALF-res slots the lax.map path is launch/ramp-bound (r4 esm3
+      attribution: 35 ms setup + 28 ms raster for 20 slots of an 11.6K-tri
+      scene) and the single-launch path wins (part_esm5 A/B); this is the
+      promoted production path for the ESM half-res atlas.
 
     slot_enabled: optional (n,) bool — slots whose light was culled by the
     camera this frame render as all-far depth (their planes are skipped
-    anyway; see LocalShadowMaps.caster_enabled)."""
+    anyway; see LocalShadowMaps.caster_enabled).  The packed path masks
+    those slots' setup lanes invalid instead of lax.cond-skipping the
+    raster (the far clear value is the same all-far result)."""
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.raster.brute import rasterize_brute
     from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
@@ -317,7 +329,28 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
             )
         return d
 
-    if slot_enabled is None:
+    if packed and use_tiled:
+        import dataclasses as _dc
+
+        def slot_setup(vp):
+            sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+            return scene_setup(
+                geom.positions, geom.normals, geom.uvs, geom.indices,
+                geom.vtx_obj, geom.tri_obj, objects.model,
+                objects.normal_mat, vp, size, size, cull_mode=CULL_NONE,
+                obj_visible=sm)
+
+        n = vp_stack.shape[0]
+        ts = jax.vmap(slot_setup)(vp_stack)
+        if slot_enabled is not None:
+            ts = _dc.replace(ts, valid=ts.valid & slot_enabled[:, None])
+        st = _stack_slot_setups(ts, size)
+        d, _, _ = rasterize_direct(
+            st, size, n * size, jnp.float32(0.0), one,
+            depth_mode=DEPTH_NDC01, track_ids=False,
+            tile_h=min(128, size), tile_w=min(128, size), band_h=size)
+        depth = d.reshape(n, size, size)
+    elif slot_enabled is None:
         depth = jax.lax.map(render_slot_vp, vp_stack)   # (n, S, S)
     else:
         def render_slot(args):
@@ -396,7 +429,7 @@ def shadow_index_for_lights(lights: LightsSoA, spot_ids, point_ids):
     jax.jit,
     static_argnames=("spot_ids", "point_ids", "map_size", "point_size",
                      "pcf_radius", "cap", "use_tiled", "vis_scale",
-                     "vis_crop", "filter_mode", "esm_c"),
+                     "vis_crop", "filter_mode", "esm_c", "atlas_packed"),
 )
 def render_local_shadow_maps(
     geom,
@@ -416,6 +449,7 @@ def render_local_shadow_maps(
     caster_enabled=None,
     filter_mode: str = "pcf",
     esm_c: float = 80.0,
+    atlas_packed: bool = False,
 ) -> LocalShadowMaps:
     """Render every budgeted local shadow slot and pack the sampling tables.
 
@@ -454,13 +488,15 @@ def render_local_shadow_maps(
         spot_taps = _render_slot_stack(
             geom, objects, spot_vp, map_size, caster_mask, use_tiled,
             pcf_radius, slot_enabled=spot_en, filter_mode=filter_mode,
-            esm_c=esm_c, slot_far=slot_fars[:n_spot])
+            esm_c=esm_c, slot_far=slot_fars[:n_spot],
+            packed=atlas_packed)
     point_taps = None
     if point_vp.shape[0]:
         point_taps = _render_slot_stack(
             geom, objects, point_vp, point_size, caster_mask, use_tiled,
             pcf_radius, slot_enabled=point_en, filter_mode=filter_mode,
-            esm_c=esm_c, slot_far=jnp.repeat(slot_fars[n_spot:], 6))
+            esm_c=esm_c, slot_far=jnp.repeat(slot_fars[n_spot:], 6),
+            packed=atlas_packed)
 
     # Per-light index into the visibility stack: K for "unshadowed".
     idx = shadow_index_for_lights(lights, spot_ids, point_ids)

@@ -438,6 +438,196 @@ def part_esm2():
               f"frac>2LSB {(d.max(-1) > 2).mean():.3e}")
 
 
+def part_esm3():
+    """Round-4 sweep #3: ATTRIBUTE the promoted ESM frame (162.6 ms) at
+    frame level via static-stage knockouts (pre-rendered atlas/sun baked as
+    jit constants — the frame minus exactly that stage's compute), plus
+    stage-only timings for the pieces the knockouts implicate."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    base = dict(shadow_filter="esm", local_map=512, local_point=256,
+                vis_scale=2, sun_vis_scale=2, shadow_size=1024,
+                vis_crop=crop)
+    variants = {
+        "promoted(full)": dict(base),
+        "static-atlas": dict(base, static_local=True),
+        "static-sun": dict(base, static_sun=True),
+        "static-both": dict(base, static_local=True, static_sun=True),
+        "nopost": dict(base, with_post=False),
+        "nocull": dict(base, with_cull=False),
+    }
+    fns = {}
+    for name, kw in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    res = {}
+    for rnd in range(2):  # interleaved rounds
+        for name, f in fns.items():
+            bench_fn(f"flagship frame {name} r{rnd}", f, cam, ctx)
+            res.setdefault(name, []).append(bench_fn.last_ms)
+    full = min(res["promoted(full)"])
+    for name in variants:
+        if name != "promoted(full)":
+            print(f"  stage cost ({name:12s}): "
+                  f"{full - min(res[name]):7.2f} ms")
+
+    # Stage-only timings for the local atlas internals at promoted budgets.
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.lighting import shadow_sample as _ss
+    from lsr_tpu.lighting.local_shadows import (
+        plan_shadow_casters, plan_slot_stacks, render_local_shadow_maps)
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP, rasterize_direct
+    from lsr_tpu.scene.scene import object_world_aabbs
+
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    bench_fn("atlas total (render_local_shadow_maps)", jax.jit(
+        lambda lt: render_local_shadow_maps(
+            geom, objects, lt, spot_ids, point_ids, map_size=512,
+            point_size=256, pcf_radius=2, vis_scale=2, vis_crop=crop,
+            filter_mode="esm").spot_taps.sum()), lights)
+    (_, _, _, _, _, spot_vp, point_vp) = plan_slot_stacks(
+        lights, spot_ids, point_ids)
+    caster_mask = objects.casts_shadow & objects.visible
+    wmin, wmax = object_world_aabbs(objects)
+    one, zero = jnp.float32(1.0), jnp.float32(0.0)
+
+    def slot_setup(vp, size):
+        sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+        return scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vp, size, size, cull_mode=CULL_NONE, obj_visible=sm)
+
+    def setup_only(vps, size):
+        return jax.lax.map(
+            lambda vp: slot_setup(vp, size).coef.sum(), vps)
+
+    def raster_map(vps, size):
+        def rs(vp):
+            d, _, _ = rasterize_direct(
+                slot_setup(vp, size), size, size, zero, one,
+                depth_mode=DEPTH_NDC01, track_ids=False,
+                tile_h=128, tile_w=128, spatial_sort=SORT_DEPTH_SETUP)
+            return d
+        return jax.lax.map(rs, vps)
+
+    bench_fn("atlas setup-only 8x512", jax.jit(
+        lambda v: setup_only(v, 512)), spot_vp)
+    bench_fn("atlas setup-only 12x256", jax.jit(
+        lambda v: setup_only(v, 256)), point_vp)
+    d8 = bench_fn("atlas setup+raster 8x512", jax.jit(
+        lambda v: raster_map(v, 512)), spot_vp)
+    d12 = bench_fn("atlas setup+raster 12x256", jax.jit(
+        lambda v: raster_map(v, 256)), point_vp)
+    bench_fn("esm prefilter+pack 8x512", jax.jit(lambda d: jax.vmap(
+        lambda x: _ss.pack_soft_u16(_ss.prefilter_esm(x, 2, 80.0)))(
+            d).sum()), d8)
+    bench_fn("esm prefilter+pack 12x256", jax.jit(lambda d: jax.vmap(
+        lambda x: _ss.pack_soft_u16(_ss.prefilter_esm(x, 2, 80.0)))(
+            d).sum()), d12)
+
+
+def part_esm4():
+    """Round-4 sweep #4: fused resolve (interp folded into the shade
+    kernel) vs the classic interp+shade split, at the PROMOTED ESM config.
+    Isolated in its own process: the lanes-layout resolve compile has
+    wedged the remote compiler before (2.4GB executable -> HTTP 500), so
+    it must not share a run with anything whose numbers we need."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    base = dict(shadow_filter="esm", local_map=512, local_point=256,
+                vis_scale=2, sun_vis_scale=2, shadow_size=1024,
+                vis_crop=crop)
+    variants = {
+        "promoted(classic)": dict(base),
+        "promoted+resolve": dict(base, use_resolve=True,
+                                 resolve_layout="lanes"),
+    }
+    fns, outs = {}, {}
+    for name, kw in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    for rnd in range(2):
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
+                                  cam, ctx)
+    a = np.asarray(outs["promoted(classic)"]).astype(int)
+    b = np.asarray(outs["promoted+resolve"]).astype(int)
+    d = np.abs(a - b)
+    print(f"  resolve vs classic: max|d| {d.max()} "
+          f"frac>2LSB {(d.max(-1) > 2).mean():.3e} (approx path)")
+
+
+def part_esm5():
+    """Round-4 sweep #5: packed atlas raster (one vmapped setup + one
+    tall-framebuffer launch per stack) vs the lax.map slot loop, at the
+    promoted ESM half-res config — whole-frame AND stage-only, with a
+    bit-exactness check on the final image."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import (
+        default_vis_crop, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    base = dict(shadow_filter="esm", local_map=512, local_point=256,
+                vis_scale=2, sun_vis_scale=2, shadow_size=1024,
+                vis_crop=crop)
+    variants = {
+        "promoted(map)": dict(base),
+        "promoted(packed)": dict(base, atlas_packed=True),
+    }
+    fns, outs = {}, {}
+    for name, kw in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    for rnd in range(2):
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
+                                  cam, ctx)
+    a = np.asarray(outs["promoted(map)"]).astype(int)
+    b = np.asarray(outs["promoted(packed)"]).astype(int)
+    d = np.abs(a - b)
+    print(f"  packed vs map: equal={bool((d == 0).all())} max|d| {d.max()}"
+          f" frac>2LSB {(d.max(-1) > 2).mean():.3e}")
+
+    # Stage-only: the atlas call alone, both strategies (sum BOTH stacks
+    # so neither is dead-code-eliminated).
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    for name, pk in (("map", False), ("packed", True)):
+        bench_fn(f"atlas total ({name})", jax.jit(
+            lambda lt, p=pk: render_local_shadow_maps(
+                geom, objects, lt, spot_ids, point_ids, map_size=512,
+                point_size=256, pcf_radius=2, vis_scale=2, vis_crop=crop,
+                filter_mode="esm", atlas_packed=p).spot_taps.sum()
+            + render_local_shadow_maps(
+                geom, objects, lt, spot_ids, point_ids, map_size=512,
+                point_size=256, pcf_radius=2, vis_scale=2, vis_crop=crop,
+                filter_mode="esm", atlas_packed=p).point_taps.sum()),
+            lights)
+
+
 def part_r3ab():
     """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
     (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
@@ -664,6 +854,12 @@ if __name__ == "__main__":
         part_esm()
     if which in ("esm2",):
         part_esm2()
+    if which in ("esm3",):
+        part_esm3()
+    if which in ("esm4",):
+        part_esm4()
+    if which in ("esm5",):
+        part_esm5()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):

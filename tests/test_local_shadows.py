@@ -391,3 +391,36 @@ def test_caster_enabled_image_exact():
         tile_size=16, cap=8, local_shadows=sh_gated)
     np.testing.assert_allclose(np.asarray(hdr_gated),
                                np.asarray(hdr_full), atol=1e-5, rtol=1e-6)
+
+
+def test_atlas_packed_matches_map():
+    """The packed atlas raster (one vmapped setup + one tall-framebuffer
+    launch per stack) must produce bit-identical tap tables to the lax.map
+    slot loop — incl. ESM prefiltered tables and caster_enabled gating
+    (culled slots render all-far either way)."""
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), intensity=3.0, range=10.0,
+            inner_angle=0.6, outer_angle=1.1)
+    lb.spot((2.0, 4.0, 1.0), (0.0, -1.0, 0.0), intensity=3.0, range=9.0,
+            inner_angle=0.5, outer_angle=1.0)
+    lb.point((0.5, 1.5, 0.5), intensity=3.0, range=8.0)
+    lights = lb.build()
+
+    for kw in (dict(filter_mode="pcf"), dict(filter_mode="esm"),
+               dict(filter_mode="esm",
+                    caster_enabled=jnp.asarray([True, False, True]))):
+        sh_map = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+            map_size=128, point_size=64, pcf_radius=1, **kw)
+        sh_packed = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+            map_size=128, point_size=64, pcf_radius=1,
+            atlas_packed=True, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(sh_map.spot_taps), np.asarray(sh_packed.spot_taps),
+            err_msg=f"spot taps differ for {kw}")
+        np.testing.assert_array_equal(
+            np.asarray(sh_map.point_taps),
+            np.asarray(sh_packed.point_taps),
+            err_msg=f"point taps differ for {kw}")
