@@ -332,16 +332,20 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
     if packed and use_tiled:
         import dataclasses as _dc
 
-        def slot_setup(vp):
-            sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
-            return scene_setup(
-                geom.positions, geom.normals, geom.uvs, geom.indices,
-                geom.vtx_obj, geom.tri_obj, objects.model,
-                objects.normal_mat, vp, size, size, cull_mode=CULL_NONE,
-                obj_visible=sm)
+        from lsr_tpu.raster.setup import scene_setup_slots
 
         n = vp_stack.shape[0]
-        ts = jax.vmap(slot_setup)(vp_stack)
+        # ONE batched multi-view setup (scene_setup_slots: the world
+        # transform + corner gather run once; per-slot clip is lane FMAs)
+        # — NOT vmap(scene_setup), which S-folds the per-vertex transform
+        # gather and lowers the clip transform to padded batched matmuls.
+        sm = caster_mask[None] & jax.vmap(
+            lambda vp: frustum_cull_objects(vp, wmin, wmax))(vp_stack)
+        ts = scene_setup_slots(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model,
+            objects.normal_mat, vp_stack, size, cull_mode=CULL_NONE,
+            obj_visible_slots=sm)
         if slot_enabled is not None:
             ts = _dc.replace(ts, valid=ts.valid & slot_enabled[:, None])
         st = _stack_slot_setups(ts, size)

@@ -234,9 +234,20 @@ def scene_setup_slots(
         positions, normals, uvs, vtx_obj, models, normal_mats,
         jnp.eye(4, dtype=jnp.float32),
     )
-    world_h = jnp.concatenate(
-        [world, jnp.ones((v, 1), jnp.float32)], axis=-1)
-    clip_slots = jnp.einsum("vc,src->svr", world_h, viewprojs)  # (S, V, 4)
+    # Per-slot clip transform as explicit lane FMAs over (S, V) planes: the
+    # einsum form ("vc,src->svr") lowers to K=4 MXU-padded batched matmuls
+    # (the same pathology vertex_stage documents — ~10ms at 72K verts for
+    # what the VPU does in <1ms).
+    wx, wy, wz = world[:, 0][None], world[:, 1][None], world[:, 2][None]
+
+    def crow(r):
+        return (viewprojs[:, None, r, 0] * wx
+                + viewprojs[:, None, r, 1] * wy
+                + viewprojs[:, None, r, 2] * wz
+                + viewprojs[:, None, r, 3])
+
+    clip_slots = jnp.stack([crow(0), crow(1), crow(2), crow(3)],
+                           axis=-1)                             # (S, V, 4)
 
     # View-independent per-corner record, gathered once and tiled.
     vrec = jnp.concatenate([world, n_ws, uvs], axis=-1)

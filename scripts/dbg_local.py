@@ -628,6 +628,68 @@ def part_esm5():
             lights)
 
 
+def part_esm6():
+    """Round-4 sweep #6: split the packed-atlas loss (esm5: 120 vs 67 ms)
+    into vmapped-setup vs stacking vs the tall raster, and probe hybrids
+    (vmap setup + lax.map raster; chunk=32 stacked raster)."""
+    import bench as bench_mod
+    from lsr_tpu.geometry.volumes import frustum_cull_objects
+    from lsr_tpu.lighting.local_shadows import (
+        _stack_slot_setups, plan_shadow_casters, plan_slot_stacks)
+    from lsr_tpu.raster.setup import CULL_NONE, DEPTH_NDC01, scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import object_world_aabbs
+
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    (_, _, _, _, _, spot_vp, point_vp) = plan_slot_stacks(
+        lights, spot_ids, point_ids)
+    caster_mask = objects.casts_shadow & objects.visible
+    wmin, wmax = object_world_aabbs(objects)
+    one, zero = jnp.float32(1.0), jnp.float32(0.0)
+
+    def slot_setup(vp, size):
+        sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
+        return scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            vp, size, size, cull_mode=CULL_NONE, obj_visible=sm)
+
+    for name, vps, size in (("8x512", spot_vp, 512),
+                            ("12x256", point_vp, 256)):
+        n = vps.shape[0]
+        bench_fn(f"vmap setup {name}", jax.jit(
+            lambda v, s=size: jax.vmap(
+                lambda vp: slot_setup(vp, s).coef.sum())(v)), vps)
+        bench_fn(f"vmap setup+stack {name}", jax.jit(
+            lambda v, s=size: _stack_slot_setups(
+                jax.vmap(lambda vp: slot_setup(vp, s))(v), s).coef.sum()),
+            vps)
+
+        def stacked(v, s=size, nn=n, chunk=16):
+            st = _stack_slot_setups(
+                jax.vmap(lambda vp: slot_setup(vp, s))(v), s)
+            d, _, _ = rasterize_direct(
+                st, s, nn * s, zero, one, depth_mode=DEPTH_NDC01,
+                track_ids=False, tile_h=min(128, s), tile_w=min(128, s),
+                band_h=s, chunk=chunk)
+            return d
+        bench_fn(f"stacked raster {name} chunk16", jax.jit(stacked), vps)
+        bench_fn(f"stacked raster {name} chunk32", jax.jit(
+            lambda v: stacked(v, chunk=32)), vps)
+
+        def hybrid(v, s=size):
+            setups = jax.vmap(lambda vp: slot_setup(vp, s))(v)
+
+            def rs(st):
+                d, _, _ = rasterize_direct(
+                    st, s, s, zero, one, depth_mode=DEPTH_NDC01,
+                    track_ids=False, tile_h=min(128, s), tile_w=min(128, s))
+                return d
+            return jax.lax.map(rs, setups)
+        bench_fn(f"vmap setup + map raster {name}", jax.jit(hybrid), vps)
+
+
 def part_r3ab():
     """Round-3 candidates, in-process A/B: (a) depth-raster spatial sort
     (atlas + sun map), (b) u16-packed tap tables (local + sun vis)."""
@@ -860,6 +922,8 @@ if __name__ == "__main__":
         part_esm4()
     if which in ("esm5",):
         part_esm5()
+    if which in ("esm6",):
+        part_esm6()
     if which in ("raster", "all"):
         part_raster()
     if which in ("vis", "all"):
