@@ -140,7 +140,9 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         # "pcf" = reference-exact window filter; "esm" = prefiltered soft
         # maps, one 1-lane fetch per (pixel, light) — the round-4
         # gather-floor lever (PARITY.md deviation class).
-        shadow_filter = os.environ.get("LSR_BENCH_SHADOW_FILTER", "pcf")
+        # Aligned with main()'s production default (ADVICE r4): direct
+        # callers omitting shadow_filter get the same config as the CLI.
+        shadow_filter = os.environ.get("LSR_BENCH_SHADOW_FILTER", "esm")
     if sun_vis_scale is None:
         sun_vis_scale = int(os.environ.get("LSR_BENCH_SUN_VIS_SCALE", "1"))
     if atlas_packed is None:
@@ -163,9 +165,8 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
         prebuilt_local = jax.tree.map(jnp.asarray, prebuilt_local)
     if static_sun:
         from lsr_tpu.passes.shadow import render_shadow_map as _rsm
-        sm_d, sm_vp = _rsm(geom, objects, jnp.asarray(
-            np.asarray([0.35, -0.75, 0.45], np.float32)),
-            map_size=shadow_size)
+        sm_d, sm_vp = _rsm(geom, objects, jnp.asarray(sun_dir),
+                           map_size=shadow_size)
         prebuilt_sun = (jnp.asarray(jax.device_get(sm_d)),
                         jnp.asarray(jax.device_get(sm_vp)))
 
@@ -251,7 +252,7 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
                 setup, depth, tid, ctx_sh, lights_f, cam.view, cam.proj,
                 cam.zn, cam.zf, width, height, cap=128,
                 sun_model="pbr_mr", local_shadows=local_sh,
-                rec_layout=resolve_layout,
+                rec_layout=resolve_layout, sun_vis_scale=sun_vis_scale,
             )
         else:
             gb = interpolate_gbuffer(setup, depth, tid,
@@ -271,7 +272,9 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
             ldr = tonemap_pass(hdr)
             ldr = fxaa_pass(ldr)
         else:
-            ldr = (hdr * 255.0).astype(jnp.uint8)  # knockout: skip post
+            # knockout: skip post (clip first — out-of-range float->uint8
+            # is implementation-defined in XLA).
+            ldr = jnp.clip(hdr * 255.0, 0.0, 255.0).astype(jnp.uint8)
         n_valid = jnp.sum(setup.valid)
         return (ldr, n_valid, max_bin, stats["max_lights_per_bin"],
                 stats["overflow_bins"])

@@ -284,7 +284,8 @@ def shade_forward_plus(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "cap", "sun_model", "rec_layout"),
+    static_argnames=("width", "height", "cap", "sun_model", "rec_layout",
+                     "sun_vis_scale"),
 )
 def resolve_forward_plus(
     setup,
@@ -303,6 +304,7 @@ def resolve_forward_plus(
     background=(0.04, 0.06, 0.1),
     rec_layout: str = "planes",
     local_shadows=None,
+    sun_vis_scale: int = 1,
 ):
     """Fully-fused resolve path: visibility buffer -> lit HDR in ONE Pallas
     kernel (lighting/resolve_kernel.py) with no intermediate G-buffer.
@@ -344,7 +346,15 @@ def resolve_forward_plus(
     if ctx.shadow is not None:
         l_dir = _norm(-ctx.light_dir_ws)
         ndl = jnp.maximum(jnp.sum(n0 * l_dir[None, None], -1), 0.0)
-        vis = shadow_visibility_dir(ctx.shadow, wp_r, ndl)
+        if sun_vis_scale > 1:
+            # Strided sun-visibility + bilinear up, identical to the
+            # shade_forward_plus path (the gather is row-count-bound).
+            sc = int(sun_vis_scale)
+            vis_s = shadow_visibility_dir(
+                ctx.shadow, wp_r[::sc, ::sc], ndl[::sc, ::sc])
+            vis = jax.image.resize(vis_s, ndl.shape, "bilinear")
+        else:
+            vis = shadow_visibility_dir(ctx.shadow, wp_r, ndl)
         vis = jnp.where(ndl > 0.0, vis, 1.0)
     else:
         vis = jnp.ones_like(depth01)

@@ -168,3 +168,57 @@ def test_resolve_with_local_shadows_matches_classic():
         cam.zf, w, h, cap=64, sun_model="pbr_mr")
     diff = (np.asarray(jax.block_until_ready(hdr_ns)) - b).sum(-1)
     assert (diff > 0.01).sum() > 20
+
+
+def test_resolve_kernel_light_kinds_specialization():
+    """The resolve kernel's static light-type specialization (ADVICE r4:
+    it duplicates the shade-kernel logic) must be BIT-exact on a mixed
+    rect/tube/spot/point scene: light_kinds=None == light_kinds=full set."""
+    from lsr_tpu.core.gather import take_rows
+    from lsr_tpu.lighting.resolve_kernel import resolve_fused_pallas
+    from lsr_tpu.raster.interp import pack_interp_records
+
+    w, h = 160, 128
+    geom, objects, cam, ctx, _ = _scene(w, h)
+    rng = np.random.default_rng(7)
+    lb = LightSetBuilder()
+    for i in range(12):
+        p = tuple(rng.uniform([-3, 0.2, -3], [3, 2, 3]).tolist())
+        c = tuple(rng.uniform(0.3, 1.0, 3).tolist())
+        if i % 4 == 0:
+            lb.rect_area(p, (0, -1, 0), color=c, intensity=1.5, range=4.0)
+        elif i % 4 == 1:
+            lb.tube_area(p, axis=(1, 0, 0), color=c, intensity=1.5,
+                         range=4.0)
+        elif i % 4 == 2:
+            lb.spot(p, (0, -1, 0), color=c, intensity=2.0, range=4.0)
+        else:
+            lb.point(p, color=c, intensity=1.5, range=3.0)
+    lights = lb.build()
+    kinds = tuple(sorted(int(t) for t in
+                         np.unique(np.asarray(lights.type))))
+
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    covered = tid >= 0
+    rec = take_rows(pack_interp_records(setup, ctx.materials),
+                    jnp.where(covered, tid, 0))
+    tex_albedo = jnp.ones(depth.shape + (3,), jnp.float32)
+    sun_vis = jnp.ones_like(depth)
+
+    def run(lk):
+        hdr, _ = resolve_fused_pallas(
+            rec, sun_vis, covered, tex_albedo,
+            ctx.camera_pos, ctx.light_dir_ws,
+            ctx.light_color * ctx.light_intensity,
+            jnp.asarray((0.04, 0.06, 0.1), jnp.float32),
+            lights, cam.view, cam.proj, w, h,
+            tile_h=64, tile_w=128, cap=64, chunk=8, light_kinds=lk)
+        return np.asarray(jax.block_until_ready(hdr))
+
+    a = run(None)
+    b = run(kinds)
+    assert (a == b).all(), np.abs(a - b).max()
