@@ -146,11 +146,13 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
     if sun_vis_scale is None:
         sun_vis_scale = int(os.environ.get("LSR_BENCH_SUN_VIS_SCALE", "1"))
     if atlas_packed is None:
-        # Packed atlas raster: one vmapped setup + one tall-framebuffer
-        # raster launch per stack instead of lax.map over 20 slots (the
-        # r4 esm3 attribution found the map path launch-bound at half-res:
-        # 35 ms setup + 28 ms raster).
-        atlas_packed = os.environ.get("LSR_BENCH_ATLAS", "map") == "packed"
+        # Atlas strategy (see _render_slot_stack): "map" = per-slot
+        # lax.map(setup+raster); "packed" = batched setup + one tall
+        # raster; "hybrid" = batched setup + per-slot rasters (no lax.cond
+        # anywhere — the r5 esm3 attribution found the in-frame cond
+        # wrapper nearly doubles the atlas stage: 66.5 vs 34.5 ms).
+        mode = os.environ.get("LSR_BENCH_ATLAS", "hybrid")
+        atlas_packed = {"map": False, "packed": True}.get(mode, "hybrid")
 
     # Attribution knockouts (scripts/dbg_local.py esm3): pre-render the
     # local atlas / sun map ONCE at build time and bake them as jit

@@ -39,11 +39,14 @@ def render_occluder_depth(geom, objects, viewproj, zn, zf,
     from lsr_tpu.raster.tiled import rasterize_direct
 
     mask = objects.visible if occluder_mask is None else occluder_mask
-    setup = scene_setup(
-        geom.positions, geom.normals, geom.uvs, geom.indices,
-        geom.vtx_obj, geom.tri_obj,
-        objects.model, objects.normal_mat, viewproj,
-        width, height, obj_visible=mask,
+    # Depth-only setup (same CULL_BACK facing rule as the main view; the
+    # occluder proxy never reads normals/uvs — raster/setup.py).
+    from lsr_tpu.raster.setup import CULL_BACK, scene_setup_depth
+
+    setup = scene_setup_depth(
+        geom.positions, geom.indices, geom.vtx_obj, geom.tri_obj,
+        objects.model, viewproj, width, height,
+        cull_mode=CULL_BACK, obj_visible=mask,
     )
     if kernel is None:
         kernel = "direct" if use_tiled else "brute"

@@ -275,25 +275,25 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
                        packed=False):
     """Depth-render every slot of one stack and pack its tap table.
 
-    Two strategies, picked by `packed`:
+    Strategies, picked by `packed` (False | True | "hybrid"):
 
     - packed=False: one lax.map over slots runs setup + depth raster per
-      slot — measured fastest at FULL-res slots (1024^2: 46.4 ms for 8
-      slots incl. setup vs 65.4 for multi-setup+map, scripts/dbg_local.py
-      part_raster r3), where per-slot raster grids are large enough to
-      amortize the 20 sequential small launches.
-    - packed=True: ONE vmapped (batched-matmul) setup over all slots,
-      merged into a tall framebuffer by _stack_slot_setups, then ONE
-      rasterize_direct launch with band-local rows (band_h=size).  At
-      HALF-res slots the lax.map path is launch/ramp-bound (r4 esm3
-      attribution: 35 ms setup + 28 ms raster for 20 slots of an 11.6K-tri
-      scene) and the single-launch path wins (part_esm5 A/B); this is the
-      promoted production path for the ESM half-res atlas.
+      slot — the r3 production path.  With caster_enabled it wraps every
+      slot in lax.cond, which the r5 esm3 attribution measured at nearly
+      2x the stage-only cost in-frame (66.5 vs 34.5 ms).
+    - packed=True: ONE batched depth-only setup over all slots
+      (scene_setup_slots_depth), merged into a tall framebuffer by
+      _stack_slot_setups, then ONE rasterize_direct launch with band-local
+      rows (band_h=size).  Bit-exact vs the map path (r5 esm5) but the
+      tall raster measured SLOWER (89 vs 65 ms stage-only) — kept for A/B.
+    - packed="hybrid": the batched setup (culled slots lane-masked, no
+      lax.cond anywhere) + a lax.map of per-slot raster launches.  The
+      promoted r5 production path (scripts/dbg_local.py esm6 A/B).
 
     slot_enabled: optional (n,) bool — slots whose light was culled by the
     camera this frame render as all-far depth (their planes are skipped
-    anyway; see LocalShadowMaps.caster_enabled).  The packed path masks
-    those slots' setup lanes invalid instead of lax.cond-skipping the
+    anyway; see LocalShadowMaps.caster_enabled).  The batched strategies
+    mask those slots' setup lanes invalid instead of lax.cond-skipping the
     raster (the far clear value is the same all-far result)."""
     from lsr_tpu.geometry.volumes import frustum_cull_objects
     from lsr_tpu.raster.brute import rasterize_brute
@@ -308,11 +308,16 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
         # Per-slot caster culling (the reference culls casters per light,
         # record_shadow_passes :6912): casters outside a slot's frustum
         # produce no valid setup lanes, so its kernel skips them.
+        # Depth-only setup: a shadow slot never reads normals/uvs, and the
+        # lane-FMA clip order is shared with scene_setup_slots_depth so the
+        # packed strategy below stays BIT-identical to this one.
+        from lsr_tpu.raster.setup import scene_setup_depth
+
         sm = caster_mask & frustum_cull_objects(vp, wmin, wmax)
-        setup = scene_setup(
-            geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
-            vp, size, size, cull_mode=CULL_NONE, obj_visible=sm,
+        setup = scene_setup_depth(
+            geom.positions, geom.indices, geom.vtx_obj, geom.tri_obj,
+            objects.model, vp, size, size,
+            cull_mode=CULL_NONE, obj_visible=sm,
         )
         if use_tiled:
             from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP
@@ -332,28 +337,38 @@ def _render_slot_stack(geom, objects, vp_stack, size, caster_mask,
     if packed and use_tiled:
         import dataclasses as _dc
 
-        from lsr_tpu.raster.setup import scene_setup_slots
+        from lsr_tpu.raster.setup import scene_setup_slots_depth
 
         n = vp_stack.shape[0]
-        # ONE batched multi-view setup (scene_setup_slots: the world
-        # transform + corner gather run once; per-slot clip is lane FMAs)
-        # — NOT vmap(scene_setup), which S-folds the per-vertex transform
-        # gather and lowers the clip transform to padded batched matmuls.
+        # ONE batched depth-only multi-view setup: world transform + corner
+        # gather run once, per-slot clip is broadcast lane FMAs over the
+        # shared world corners (no per-slot row gather), and no normal/uv
+        # work at all — NOT vmap(scene_setup), which S-folds the per-vertex
+        # transform gather and lowers the clip to padded batched matmuls.
         sm = caster_mask[None] & jax.vmap(
             lambda vp: frustum_cull_objects(vp, wmin, wmax))(vp_stack)
-        ts = scene_setup_slots(
-            geom.positions, geom.normals, geom.uvs, geom.indices,
-            geom.vtx_obj, geom.tri_obj, objects.model,
-            objects.normal_mat, vp_stack, size, cull_mode=CULL_NONE,
+        ts = scene_setup_slots_depth(
+            geom.positions, geom.indices, geom.vtx_obj, geom.tri_obj,
+            objects.model, vp_stack, size, cull_mode=CULL_NONE,
             obj_visible_slots=sm)
         if slot_enabled is not None:
             ts = _dc.replace(ts, valid=ts.valid & slot_enabled[:, None])
-        st = _stack_slot_setups(ts, size)
-        d, _, _ = rasterize_direct(
-            st, size, n * size, jnp.float32(0.0), one,
-            depth_mode=DEPTH_NDC01, track_ids=False,
-            tile_h=min(128, size), tile_w=min(128, size), band_h=size)
-        depth = d.reshape(n, size, size)
+        if packed == "hybrid":
+            # Per-slot raster launches over the shared batched setup.
+            def rs(st1):
+                d1, _, _ = rasterize_direct(
+                    st1, size, size, jnp.float32(0.0), one,
+                    depth_mode=DEPTH_NDC01, track_ids=False,
+                    tile_h=min(128, size), tile_w=min(128, size))
+                return d1
+            depth = jax.lax.map(rs, ts)
+        else:
+            st = _stack_slot_setups(ts, size)
+            d, _, _ = rasterize_direct(
+                st, size, n * size, jnp.float32(0.0), one,
+                depth_mode=DEPTH_NDC01, track_ids=False,
+                tile_h=min(128, size), tile_w=min(128, size), band_h=size)
+            depth = d.reshape(n, size, size)
     elif slot_enabled is None:
         depth = jax.lax.map(render_slot_vp, vp_stack)   # (n, S, S)
     else:

@@ -209,10 +209,14 @@ def make_sharded_flagship(mesh: Mesh, geom, objects, shade_ctx, lights,
             _, _, light_vp = build_dir_light_camera(
                 smin, smax, sun_dir, shadow_size)
             caster_mask = objects.casts_shadow & objects.visible
-            sm_setup = scene_setup(
-                geom.positions, geom.normals, geom.uvs, geom.indices,
-                geom.vtx_obj, geom.tri_obj, objects.model,
-                objects.normal_mat, light_vp, shadow_size, shadow_size,
+            # Depth-only setup, matching passes/shadow.render_shadow_map's
+            # path exactly (the sharded sun map must stay bit-identical to
+            # the single-chip flagship's — tests/test_sharding.py).
+            from lsr_tpu.raster.setup import scene_setup_depth
+
+            sm_setup = scene_setup_depth(
+                geom.positions, geom.indices, geom.vtx_obj, geom.tri_obj,
+                objects.model, light_vp, shadow_size, shadow_size,
                 cull_mode=CULL_NONE, obj_visible=caster_mask)
             from lsr_tpu.raster.tiled import SORT_DEPTH_SETUP
 

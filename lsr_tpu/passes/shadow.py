@@ -39,13 +39,14 @@ def render_shadow_map(
         smin, smax, sun_dir_ws, map_size, depth_margin=depth_margin
     )
     caster_mask = objects.casts_shadow & objects.visible
-    setup = scene_setup(
-        geom.positions, geom.normals, geom.uvs, geom.indices,
-        geom.vtx_obj, geom.tri_obj,
-        objects.model, objects.normal_mat, light_vp,
-        map_size, map_size,
-        cull_mode=CULL_NONE,
-        obj_visible=caster_mask,
+    # Depth-only setup: skips the normal/uv/attribute work a shadow raster
+    # never reads (~2x cheaper front-end; raster/setup.scene_setup_depth).
+    from lsr_tpu.raster.setup import scene_setup_depth
+
+    setup = scene_setup_depth(
+        geom.positions, geom.indices, geom.vtx_obj, geom.tri_obj,
+        objects.model, light_vp, map_size, map_size,
+        cull_mode=CULL_NONE, obj_visible=caster_mask,
     )
     one = jnp.float32(1.0)
     if use_tiled:

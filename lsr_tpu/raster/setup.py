@@ -91,6 +91,23 @@ def vertex_stage(positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
     return world, clip, n_ws
 
 
+def vertex_stage_world(positions, vtx_obj, models):
+    """World-only vertex stage for depth targets: the model transform's
+    exact FMA order from vertex_stage (bit-identical world positions), no
+    normal matrix gather/transform/normalize and no uv plumbing.
+
+    Returns world_h (V, 4) homogeneous world positions (w = model row 3
+    applied, identical to vertex_stage's world_h)."""
+    o = models.shape[0]
+    xf = models.reshape(o, 16)[vtx_obj]          # (V, 16)
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+
+    def row4(c):
+        return xf[:, c] * x + xf[:, c + 1] * y + xf[:, c + 2] * z + xf[:, c + 3]
+
+    return jnp.stack([row4(0), row4(4), row4(8), row4(12)], axis=-1)
+
+
 def assemble_and_clip(clip_v, world_v, normal_v, uv_v, indices, tri_obj):
     """Gather triangle corners and near-clip with static expansion.
 
@@ -189,6 +206,8 @@ def build_setup(
 
     ok = valid & w_ok & finite & nondegenerate & face_ok & on_screen
 
+    n = clip_tris.shape[0]
+    zero3 = jnp.zeros((n, 3, 0), jnp.float32)
     return TriSetup(
         coef=coef,
         iw=iw,
@@ -196,10 +215,125 @@ def build_setup(
         bbox=bbox,
         valid=ok,
         obj_id=obj_id.astype(jnp.int32),
-        wp=attrs["wp"],
-        nw=attrs["normal"],
-        uv=attrs["uv"],
+        # Depth-only targets (shadow maps, occluder proxies) carry no
+        # shading attributes: zero-width corner arrays keep TriSetup's
+        # pytree shape without the gather/interp cost.
+        wp=attrs.get("wp", zero3),
+        nw=attrs.get("normal", zero3),
+        uv=attrs.get("uv", jnp.zeros((n, 3, 0), jnp.float32)),
     )
+
+
+def scene_setup_depth(
+    positions,
+    indices,
+    vtx_obj,
+    tri_obj,
+    models,
+    viewproj,
+    width: int,
+    height: int,
+    cull_mode: int = CULL_NONE,
+    front_face_ccw: bool = True,
+    obj_visible=None,
+) -> TriSetup:
+    """Depth-only geometry front-end for shadow/occluder targets.
+
+    Same case tables and build math as scene_setup; it skips what a depth
+    raster never reads — the normal-matrix gather + transform + normalize,
+    the uv plumbing, and the 12-wide per-corner attribute gather (4-wide
+    clip corners instead) — and computes the clip transform with the same
+    explicit lane-FMA order as scene_setup_slots_depth, so single-slot and
+    stacked-slot depth setups are bit-identical by construction (scene_setup
+    uses a `world_h @ viewproj.T` dot whose TPU lowering may accumulate
+    differently; depth consumers are re-goldened on this path).
+    TriSetup.wp/nw/uv come back zero-width."""
+    world_h = vertex_stage_world(positions, vtx_obj, models)
+    wx, wy, wz, ww = (world_h[:, 0], world_h[:, 1], world_h[:, 2],
+                      world_h[:, 3])
+
+    def crow(r):
+        return (viewproj[r, 0] * wx + viewproj[r, 1] * wy
+                + viewproj[r, 2] * wz + viewproj[r, 3] * ww)
+
+    clip_v = jnp.stack([crow(0), crow(1), crow(2), crow(3)], axis=-1)
+    from lsr_tpu.raster.clip import clip_triangles_near
+
+    tri_clip = clip_v[indices]                    # (T, 3, 4)
+    clip2, _, valid2 = clip_triangles_near({}, tri_clip)
+    t = indices.shape[0]
+    obj2 = jnp.broadcast_to(tri_obj[:, None], (t, 2)).reshape(-1)
+    valid = valid2.reshape(-1)
+    if obj_visible is not None:
+        valid = valid & obj_visible[obj2]
+    return build_setup(
+        clip2.reshape(2 * t, 3, 4), {}, valid, obj2, width, height,
+        cull_mode, front_face_ccw,
+    )
+
+
+def scene_setup_slots_depth(
+    positions,
+    indices,
+    vtx_obj,
+    tri_obj,
+    models,
+    viewprojs,
+    size: int,
+    cull_mode: int = CULL_NONE,
+    front_face_ccw: bool = True,
+    obj_visible_slots=None,
+) -> TriSetup:
+    """Depth-only multi-view front-end: one setup per shadow-atlas slot.
+
+    viewprojs: (S, 4, 4).  Returns a TriSetup with a leading (S,) slot dim
+    and zero-width attrs (see scene_setup_depth).
+
+    Structure (the r4 packed-atlas setup, restructured once more): the
+    world transform and the corner gather run ONCE (view-independent), and
+    each slot's clip corners are broadcast lane-FMAs over the shared world
+    corners — no per-slot row gather at all.  The per-corner clip value is
+    viewproj[s] @ world_h[v] in the same scalar FMA order as
+    scene_setup_slots' crow(), so results stay bit-identical to the
+    per-slot scene_setup path (which computes the identical contraction via
+    the world_h @ viewproj.T matmul: f32 row-times-column either way)."""
+    s = viewprojs.shape[0]
+    t = indices.shape[0]
+    world_h = vertex_stage_world(positions, vtx_obj, models)
+    wc = world_h[indices]                         # (T, 3, 4) gathered ONCE
+    wx, wy, wz, ww = (wc[..., 0][None], wc[..., 1][None],
+                      wc[..., 2][None], wc[..., 3][None])
+
+    def crow(r):
+        return (viewprojs[:, None, None, r, 0] * wx
+                + viewprojs[:, None, None, r, 1] * wy
+                + viewprojs[:, None, None, r, 2] * wz
+                + viewprojs[:, None, None, r, 3] * ww)
+
+    tri_clip = jnp.stack([crow(0), crow(1), crow(2), crow(3)],
+                         axis=-1).reshape(s * t, 3, 4)
+    from lsr_tpu.raster.clip import clip_triangles_near
+
+    clip2, _, valid2 = clip_triangles_near({}, tri_clip)
+    obj2 = jnp.broadcast_to(tri_obj[None, :, None], (s, t, 2)).reshape(-1)
+    valid = valid2.reshape(-1)
+    if obj_visible_slots is not None:
+        o = obj_visible_slots.shape[1]
+        slot_of = jnp.repeat(jnp.arange(s, dtype=jnp.int32), 2 * t)
+        valid = valid & obj_visible_slots.reshape(-1)[slot_of * o + obj2]
+    setup = build_setup(
+        clip2.reshape(2 * s * t, 3, 4), {}, valid, obj2, size, size,
+        cull_mode, front_face_ccw,
+    )
+    import dataclasses as _dc
+
+    def unflat(x):
+        return x.reshape((s, 2 * t) + x.shape[1:])
+
+    return TriSetup(**{
+        f.name: unflat(getattr(setup, f.name))
+        for f in _dc.fields(TriSetup)
+    })
 
 
 def scene_setup_slots(

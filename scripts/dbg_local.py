@@ -596,6 +596,7 @@ def part_esm5():
     variants = {
         "promoted(map)": dict(base),
         "promoted(packed)": dict(base, atlas_packed=True),
+        "promoted(hybrid)": dict(base, atlas_packed="hybrid"),
     }
     fns, outs = {}, {}
     for name, kw in variants.items():
@@ -607,15 +608,17 @@ def part_esm5():
             outs[name] = bench_fn(f"flagship frame {name} r{rnd}", f,
                                   cam, ctx)
     a = np.asarray(outs["promoted(map)"]).astype(int)
-    b = np.asarray(outs["promoted(packed)"]).astype(int)
-    d = np.abs(a - b)
-    print(f"  packed vs map: equal={bool((d == 0).all())} max|d| {d.max()}"
-          f" frac>2LSB {(d.max(-1) > 2).mean():.3e}")
+    for vn in ("promoted(packed)", "promoted(hybrid)"):
+        b = np.asarray(outs[vn]).astype(int)
+        d = np.abs(a - b)
+        print(f"  {vn} vs map: equal={bool((d == 0).all())} max|d| "
+              f"{d.max()} frac>2LSB {(d.max(-1) > 2).mean():.3e}")
 
     # Stage-only: the atlas call alone, both strategies (sum BOTH stacks
     # so neither is dead-code-eliminated).
     spot_ids, point_ids = plan_shadow_casters(lights)
-    for name, pk in (("map", False), ("packed", True)):
+    for name, pk in (("map", False), ("packed", True),
+                     ("hybrid", "hybrid")):
         bench_fn(f"atlas total ({name})", jax.jit(
             lambda lt, p=pk: render_local_shadow_maps(
                 geom, objects, lt, spot_ids, point_ids, map_size=512,
@@ -869,7 +872,105 @@ def part_r3ab():
              setup, depth, tid, ctx_sh)
 
 
-def part_cull():
+def part_core():
+    """Round-5: split the static-both core (~87 ms at HEAD, esm3 r5) into
+    its stages at the promoted ESM config — main setup, raster, interp,
+    local vis stack, sun visibility, fused shade, binning, post — each
+    slope-timed in-process on the real frame's inputs."""
+    import dataclasses as _dc
+
+    import bench as bench_mod
+    from lsr_tpu.lighting import local_shadows as ls
+    from lsr_tpu.lighting.local_shadows import (
+        default_vis_crop, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.lighting.shadow_sample import (
+        make_shadow_context, shadow_visibility_dir)
+    from lsr_tpu.passes.forward_plus import shade_forward_plus
+    from lsr_tpu.passes.post import fxaa_pass
+    from lsr_tpu.passes.shadow import render_shadow_map
+    from lsr_tpu.passes.tonemap import tonemap_pass
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.models import _norm
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+    spot_ids, point_ids = plan_shadow_casters(lights)
+
+    # Build the frame's intermediates once (device-resident).
+    sh = jax.jit(lambda lt: render_local_shadow_maps(
+        geom, objects, lt, spot_ids, point_ids, map_size=512,
+        point_size=256, pcf_radius=2, vis_scale=2, vis_crop=crop,
+        filter_mode="esm"))(lights)
+    sm_depth, light_vp = jax.jit(lambda: render_shadow_map(
+        geom, objects, jnp.asarray([0.35, -0.75, 0.45], jnp.float32),
+        map_size=1024))()
+    sun_sh = make_shadow_context(sm_depth, light_vp, pcf_radius=2,
+                                 filter_mode="esm")
+    ctx_sh = _dc.replace(ctx, shadow=sun_sh)
+
+    f_setup = jax.jit(lambda c: scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        c.viewproj, w, h, obj_visible=objects.visible))
+    setup = bench_fn("main scene_setup", f_setup, cam)
+    f_rast = jax.jit(lambda s, c: rasterize_direct(
+        s, w, h, c.zn, c.zf, spatial_sort=True)[:2])
+    depth, tid = bench_fn("main raster (direct, sorted)", f_rast, setup, cam)
+    f_interp = jax.jit(lambda s, d, t: interpolate_gbuffer(
+        s, d, t, materials=ctx.materials, want_face_normal=False))
+    gb = bench_fn("interp gbuffer", f_interp, setup, depth, tid)
+    wp = jax.block_until_ready(gb.world_pos)
+    nm = jax.block_until_ready(_norm(gb.normal_ws))
+
+    bench_fn("local vis stack (esm vis/2 crop)", jax.jit(
+        ls.local_shadow_vis_stack), sh, wp, nm)
+    ndl = jnp.clip(jnp.sum(nm * _norm(
+        -jnp.asarray([0.35, -0.75, 0.45], jnp.float32))[None, None], -1),
+        0.0, 1.0)
+    bench_fn("sun visibility (esm, vis/2)", jax.jit(
+        lambda c2, wp2, nd: shadow_visibility_dir(
+            c2, wp2[::2, ::2], nd[::2, ::2])), sun_sh, wp, ndl)
+
+    def shade(gb2, c2):
+        hdr, _ = shade_forward_plus(
+            gb2, c2, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+            tile_size=16, cap=128, mode="tiled_depth_range",
+            sun_model="pbr_mr", local_shadows=sh, sun_vis_scale=2)
+        return hdr
+    hdr = bench_fn("shade_forward_plus (whole: vis+bin+kernel)",
+                   jax.jit(shade), gb, ctx_sh)
+
+    # Shade WITHOUT local shadows (isolates the vis planes + select cost
+    # inside the shade path).
+    def shade_nolocal(gb2, c2):
+        hdr2, _ = shade_forward_plus(
+            gb2, c2, lights, cam.view, cam.proj, cam.zn, cam.zf, w, h,
+            tile_size=16, cap=128, mode="tiled_depth_range",
+            sun_model="pbr_mr", local_shadows=None, sun_vis_scale=2)
+        return hdr2
+    bench_fn("shade_forward_plus (no local shadows)",
+             jax.jit(shade_nolocal), gb, ctx_sh)
+
+    # Binning alone.
+    from lsr_tpu.lighting.light_culling import (
+        cull_lights_tiled, tile_depth_ranges_from_buffer)
+
+    def binonly(d):
+        tdr = tile_depth_ranges_from_buffer(d, cam.zn, cam.zf, w, h, 128,
+                                            tile_h=64)
+        lists, counts, st = cull_lights_tiled(
+            lights, cam.view, cam.proj, w, h, tile_size=128, tile_h=64,
+            cap=256, tile_depth_range=tdr)
+        return lists.sum() + counts.sum()
+    bench_fn("light binning (tdr + cull_tiled)", jax.jit(binonly), depth)
+
+    f_post = jax.jit(lambda x: fxaa_pass(tonemap_pass(x)))
+    bench_fn("post (tonemap+fxaa)", f_post, hdr)
     """A/B the per-frame scene-cull step's occluder raster kernel."""
     import bench as bench_mod
     from lsr_tpu.geometry.occlusion import (
@@ -910,6 +1011,8 @@ if __name__ == "__main__":
         part_frame()
     if which in ("cull",):
         part_cull()
+    if which in ("core",):
+        part_core()
     if which in ("r3ab",):
         part_r3ab()
     if which in ("esm",):

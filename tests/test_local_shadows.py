@@ -413,14 +413,16 @@ def test_atlas_packed_matches_map():
         sh_map = render_local_shadow_maps(
             geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
             map_size=128, point_size=64, pcf_radius=1, **kw)
-        sh_packed = render_local_shadow_maps(
-            geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
-            map_size=128, point_size=64, pcf_radius=1,
-            atlas_packed=True, **kw)
-        np.testing.assert_array_equal(
-            np.asarray(sh_map.spot_taps), np.asarray(sh_packed.spot_taps),
-            err_msg=f"spot taps differ for {kw}")
-        np.testing.assert_array_equal(
-            np.asarray(sh_map.point_taps),
-            np.asarray(sh_packed.point_taps),
-            err_msg=f"point taps differ for {kw}")
+        for strategy in (True, "hybrid"):
+            sh_packed = render_local_shadow_maps(
+                geom, objects, lights, spot_ids=(0, 1), point_ids=(2,),
+                map_size=128, point_size=64, pcf_radius=1,
+                atlas_packed=strategy, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(sh_map.spot_taps),
+                np.asarray(sh_packed.spot_taps),
+                err_msg=f"spot taps differ for {kw} ({strategy})")
+            np.testing.assert_array_equal(
+                np.asarray(sh_map.point_taps),
+                np.asarray(sh_packed.point_taps),
+                err_msg=f"point taps differ for {kw} ({strategy})")
