@@ -797,21 +797,26 @@ def _spot_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
     return jnp.where(in_map, vis, 1.0)
 
 
-def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+def _spot_planes(sh: LocalShadowMaps, ks, world_pos, normal,
+                 crop_sizes=None):
     """All SPOT_2D planes: (len(ks), H, W).
 
     With sh.vis_crop set, each plane evaluates on a static-size crop around
     the light's exact screen footprint (gather rows are the cost; spots
-    cover a small screen fraction) — bit-identical to the full-grid path."""
+    cover a small screen fraction) — bit-identical to the full-grid path.
+    crop_sizes overrides the cascade (already normalized, e.g. scaled to a
+    vis_scale-strided grid by _vis_planes_list)."""
+    if crop_sizes is None:
+        crop_sizes = _crop_sizes(sh.vis_crop)
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _spot_plane_one(sh, k, wp, nm)
         en = (None if sh.caster_enabled is None
               else sh.caster_enabled[k])
-        if sh.vis_crop:
+        if crop_sizes:
             mask = _spot_in_map(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *_crop_sizes(sh.vis_crop),
+                                         *crop_sizes,
                                          enabled=en))
         elif en is not None:
             planes.append(jax.lax.cond(
@@ -900,20 +905,23 @@ def _point_plane_one(sh: LocalShadowMaps, k: int, world_pos, normal):
     return jnp.where(in_map, vis, 1.0)
 
 
-def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal):
+def _point_planes(sh: LocalShadowMaps, ks, world_pos, normal,
+                  crop_sizes=None):
     """All POINT_CUBE planes: (len(ks), H, W); vis_crop as in
     _spot_planes (the range sphere bounds the footprint; the flagship
     orbit's point footprints are smaller than its spots', so one shared
     window covers both kinds)."""
+    if crop_sizes is None:
+        crop_sizes = _crop_sizes(sh.vis_crop)
     planes = []
     for k in ks:
         fn = lambda wp, nm, k=k: _point_plane_one(sh, k, wp, nm)
         en = (None if sh.caster_enabled is None
               else sh.caster_enabled[k])
-        if sh.vis_crop:
+        if crop_sizes:
             mask = _point_in_reach(sh, k, world_pos)
             planes.append(_cropped_plane(fn, mask, world_pos, normal,
-                                         *_crop_sizes(sh.vis_crop),
+                                         *crop_sizes,
                                          enabled=en))
         elif en is not None:
             planes.append(jax.lax.cond(
@@ -964,6 +972,33 @@ def local_shadow_vis_planes(sh: LocalShadowMaps, world_pos, normal):
     return stack
 
 
+def _scaled_crop_sizes(vis_crop, sc: int) -> tuple:
+    """Crop cascade re-denominated for a vis_scale-strided grid.
+
+    vis_crop levels are sized in FULL-res pixels (default_vis_crop takes
+    the framebuffer dims); the planes evaluate on the (H/sc, W/sc) grid, so
+    unscaled levels cover sc^2 x the intended footprint area — at sc=2 the
+    whole 4-level cascade collapses to one near-full-grid window (the r5
+    HEAD ledger measured the vis stack at 33.6 ms because of it).  Each
+    level shrinks by sc, re-rounded to TPU tiles (sublane 8, lane 128).
+    Exact either way: _cropped_plane fit-checks against the actual
+    footprint on the eval grid and falls through to the next level."""
+    sizes = _crop_sizes(vis_crop)
+    if sc <= 1 or not sizes:
+        return sizes
+    def up(v, m):  # ceil(v / sc) rounded up to a multiple of m
+        q = -(-v // sc)
+        return -(-q // m) * m
+
+    out, seen = [], set()
+    for ch, cw in sizes:
+        lv = (up(ch, 8), up(cw, 128))
+        if lv not in seen:
+            seen.add(lv)
+            out.append(lv)
+    return tuple(out)
+
+
 def _vis_planes_list(sh: LocalShadowMaps, world_pos, normal):
     """Shared body of the vis-stack builders: K+1 (H', W') planes at the
     vis_scale-strided grid resolution."""
@@ -972,6 +1007,7 @@ def _vis_planes_list(sh: LocalShadowMaps, world_pos, normal):
     if sc > 1:
         wp = world_pos[::sc, ::sc]
         nm = normal[::sc, ::sc]
+    crops = _scaled_crop_sizes(sh.vis_crop, sc)
 
     spot_ks = [k for k in range(sh.n_shadowed)
                if sh.kinds[k] != SHADOW_POINT_CUBE]
@@ -979,11 +1015,11 @@ def _vis_planes_list(sh: LocalShadowMaps, world_pos, normal):
                 if sh.kinds[k] == SHADOW_POINT_CUBE]
     parts = {}
     if spot_ks:
-        sp = _spot_planes(sh, spot_ks, wp, nm)
+        sp = _spot_planes(sh, spot_ks, wp, nm, crop_sizes=crops)
         for i, k in enumerate(spot_ks):
             parts[k] = sp[i]
     if point_ks:
-        pp = _point_planes(sh, point_ks, wp, nm)
+        pp = _point_planes(sh, point_ks, wp, nm, crop_sizes=crops)
         for i, k in enumerate(point_ks):
             parts[k] = pp[i]
     planes = [parts[k] for k in range(sh.n_shadowed)]

@@ -872,6 +872,71 @@ def part_r3ab():
              setup, depth, tid, ctx_sh)
 
 
+def part_vis4():
+    """Round-5: A/B the vis-grid-scaled crop cascade (_scaled_crop_sizes)
+    against the r4 effective cascade (full-res levels min'd onto the vis/2
+    grid = one near-full-grid (540, 640) level), stage-only AND
+    whole-frame, plus a bit-exactness check of the final image."""
+    import bench as bench_mod
+    from lsr_tpu.lighting import local_shadows as ls
+    from lsr_tpu.lighting.local_shadows import (
+        default_vis_crop, plan_shadow_casters, render_local_shadow_maps)
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+    from lsr_tpu.shading.models import _norm
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    spot_ids, point_ids = plan_shadow_casters(lights)
+    crops = {
+        "scaled(new)": default_vis_crop(h, w),
+        # The OLD effective level set at vis/2: (1080,1280)/2 = (540, 640)
+        # + full-grid fallback (all other r4 levels min'd to >= grid).
+        "r4-effective": ((1080, 1280),),
+    }
+
+    # Stage-only: the vis stack on the real frame's G-buffer.
+    setup = jax.jit(lambda c: scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        c.viewproj, w, h, obj_visible=objects.visible))(cam)
+    depth, tid, _ = jax.jit(lambda s, c: rasterize_direct(
+        s, w, h, c.zn, c.zf, spatial_sort=True))(setup, cam)
+    gb = jax.jit(lambda s, d, t: interpolate_gbuffer(
+        s, d, t, materials=ctx.materials, want_face_normal=False))(
+            setup, depth, tid)
+    wp = jax.block_until_ready(gb.world_pos)
+    nm = jax.block_until_ready(_norm(gb.normal_ws))
+    for name, crop in crops.items():
+        sh = jax.jit(lambda lt, cr=tuple(crop): render_local_shadow_maps(
+            geom, objects, lt, spot_ids, point_ids, map_size=512,
+            point_size=256, pcf_radius=2, vis_scale=2, vis_crop=cr,
+            filter_mode="esm"))(lights)
+        for rnd in range(2):
+            bench_fn(f"vis stack {name} r{rnd}", jax.jit(
+                ls.local_shadow_vis_stack), sh, wp, nm)
+
+    # Whole-frame, interleaved.
+    fns, outs = {}, {}
+    for name, crop in crops.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, shadow_filter="esm",
+            local_map=512, local_point=256, vis_scale=2, sun_vis_scale=2,
+            shadow_size=1024, vis_crop=tuple(crop))
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+    for rnd in range(2):
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship {name} r{rnd}", f, cam, ctx)
+    a = np.asarray(outs["scaled(new)"]).astype(int)
+    b = np.asarray(outs["r4-effective"]).astype(int)
+    d = np.abs(a - b)
+    print(f"  scaled vs r4: max|d| {d.max()} "
+          f"frac>2LSB {(d.max(-1) > 2).mean():.3e}")
+
+
 def part_core():
     """Round-5: split the static-both core (~87 ms at HEAD, esm3 r5) into
     its stages at the promoted ESM config — main setup, raster, interp,
@@ -1013,6 +1078,8 @@ if __name__ == "__main__":
         part_cull()
     if which in ("core",):
         part_core()
+    if which in ("vis4",):
+        part_vis4()
     if which in ("r3ab",):
         part_r3ab()
     if which in ("esm",):

@@ -31,6 +31,19 @@ import pytest  # noqa: E402
 # parametrized tests are marked whole.
 _SLOW = {
     ("test_cubemap_probes.py", "test_env_probe_in_forward_plus"),
+    ("test_esm_shadows.py", "test_local_esm_crop_cascade_is_consistent"),
+    ("test_lights.py", "test_clustered_matches_tiled"),
+    ("test_lights.py", "test_shade_kernel_light_kinds_specialization"),
+    ("test_local_shadows.py", "test_atlas_packed_matches_map"),
+    ("test_local_shadows.py", "test_point_cube_shadow_selects_faces"),
+    ("test_local_shadows.py", "test_spot_shadow_occludes_ground"),
+    ("test_raster_brute.py", "test_cube_near_clip"),
+    ("test_raster_brute.py", "test_depth_ordering_two_quads"),
+    ("test_raster_tiled.py", "test_tiled_matches_brute_monkey"),
+    ("test_resolve_kernel.py",
+     "test_resolve_kernel_light_kinds_specialization"),
+    ("test_shadow_culling.py", "test_u16_taps_match_f32"),
+    ("test_sharding.py", "test_pipeline_parallel_render"),
     ("test_esm_shadows.py", "test_local_esm_spot_and_point_semantics"),
     ("test_esm_shadows.py", "test_sun_esm_matches_pcf_on_clear_pixels"),
     ("test_lights.py", "test_clustered_kernel_matches_xla"),

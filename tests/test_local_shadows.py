@@ -270,6 +270,60 @@ def test_vis_crop_bit_exact():
     assert (full[..., 0] < 0.99).any()
 
 
+def test_vis_crop_scales_to_vis_grid():
+    """At vis_scale > 1 the crop cascade re-denominates to the strided eval
+    grid (ceil(size/sc) rounded up to TPU tiles) — full-res-sized levels
+    would cover sc^2 x the footprint area and defeat the crop (the r5 HEAD
+    ledger's 33.6 ms vis stack).  The scaled planes must still match the
+    uncropped vis_scale planes to 1 ULP."""
+    import jax
+
+    from lsr_tpu.lighting.local_shadows import _scaled_crop_sizes
+    from lsr_tpu.raster.interp import interpolate_gbuffer
+    from lsr_tpu.raster.setup import scene_setup
+    from lsr_tpu.raster.tiled import rasterize_direct
+    from lsr_tpu.scene.scene import make_camera
+
+    # Unit contract: ceil-div then round up to (8, 128) tiles, deduped.
+    assert _scaled_crop_sizes(((560, 640), (680, 960)), 2) == \
+        ((280, 384), (344, 512))
+    assert _scaled_crop_sizes(((560, 640),), 1) == ((560, 640),)
+    assert _scaled_crop_sizes((), 2) == ()
+
+    geom, objects = _occluder_scene()
+    lb = LightSetBuilder()
+    lb.spot((0.5, 3.0, 0.5), (0.0, -1.0, 0.0), intensity=3.0, range=6.0,
+            inner_angle=0.2, outer_angle=0.35)
+    lb.point((1.0, 1.2, -1.0), intensity=3.0, range=5.0)
+    lights = lb.build()
+
+    w, h = 256, 128
+    cam = make_camera(w, h, (0.0, 4.0, -6.0), (0, 0, 0))
+    setup = scene_setup(
+        geom.positions, geom.normals, geom.uvs, geom.indices,
+        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+        cam.viewproj, w, h)
+    depth, tid, _ = rasterize_direct(setup, w, h, cam.zn, cam.zf)
+    gb = interpolate_gbuffer(setup, depth, tid)
+    nrm = gb.normal_ws / jnp.maximum(
+        jnp.linalg.norm(gb.normal_ws, axis=-1, keepdims=True), 1e-8)
+
+    def stack(crop):
+        sh = render_local_shadow_maps(
+            geom, objects, lights, spot_ids=(0,), point_ids=(1,),
+            map_size=128, point_size=64, pcf_radius=1, vis_scale=2,
+            vis_crop=crop)
+        return np.asarray(jax.block_until_ready(
+            local_shadow_vis_stack(sh, gb.world_pos, nrm)))
+
+    full = stack(())
+    # Full-res-denominated cascade (the bench config shape): on the 64x128
+    # eval grid the scaled levels are (32, 128) and (48, 128).
+    cascaded = stack(((64, 256), (96, 256)))
+    np.testing.assert_allclose(cascaded, full, atol=2e-7)
+    assert (full[..., 0] < 0.99).any()
+
+
 def test_default_vis_crop_cascade_shape():
     """default_vis_crop: TPU-tile-aligned levels (sublane x8, lane x128
     unless capped at the screen edge), strictly below full screen, unique,
