@@ -937,6 +937,56 @@ def part_vis4():
           f"frac>2LSB {(d.max(-1) > 2).mean():.3e}")
 
 
+def part_attr():
+    """Round-5 ESM attribution (VERDICT r4 item 4), ONE interleaved run:
+    (1) exact PCF at reference budgets, (2) ESM at the SAME reference
+    budgets (isolates the filter redesign from every resolution knob),
+    (3) the promoted half-res ESM stack, (4) the promoted stack with the
+    r4-effective vis crop (isolates the r5 crop-cascade scaling win).
+    Plus parity deltas of each vs the PCF anchor."""
+    import bench as bench_mod
+    from lsr_tpu.lighting.local_shadows import default_vis_crop
+    from lsr_tpu.scene.scene import make_camera
+
+    w, h = 1920, 1080
+    geom, objects, lights, ctx, eye = bench_mod.build_scene()
+    cam = make_camera(w, h, eye, (0, 0, 0), fov=np.pi / 3.2)
+    crop = default_vis_crop(h, w)
+
+    ref = dict(shadow_size=2048, local_map=1024, local_point=512,
+               vis_scale=1, sun_vis_scale=1, vis_crop=crop)
+    promoted = dict(shadow_filter="esm", shadow_size=1024, local_map=512,
+                    local_point=256, vis_scale=2, sun_vis_scale=2,
+                    vis_crop=crop)
+    variants = {
+        "pcf-ref-budgets": dict(ref, shadow_filter="pcf"),
+        "esm-ref-budgets": dict(ref, shadow_filter="esm"),
+        "esm-promoted": dict(promoted),
+        "esm-promoted-r4crop": dict(promoted, vis_crop=((1080, 1280),)),
+    }
+    fns, outs = {}, {}
+    for name, kw in variants.items():
+        frame, _, _ = bench_mod.make_flagship_frame(
+            geom, objects, lights, ctx, w, h, **kw)
+        fns[name] = jax.jit(lambda c, x, f=frame: f(c, x)[0])
+        print(f"built {name}", flush=True)
+    res = {}
+    for rnd in range(3):
+        for name, f in fns.items():
+            outs[name] = bench_fn(f"flagship {name} r{rnd}", f, cam, ctx)
+            res.setdefault(name, []).append(bench_fn.last_ms)
+    print("  === best-of-3 interleaved ===")
+    for name, ms in res.items():
+        print(f"  {name:24s} {min(ms):8.2f} ms")
+    base = np.asarray(outs["pcf-ref-budgets"]).astype(int)
+    for name in variants:
+        if name == "pcf-ref-budgets":
+            continue
+        d = np.abs(np.asarray(outs[name]).astype(int) - base)
+        print(f"  {name} vs pcf-ref: max|d| {d.max()} "
+              f"frac>2LSB {(d.max(-1) > 2).mean():.3e}")
+
+
 def part_core():
     """Round-5: split the static-both core (~87 ms at HEAD, esm3 r5) into
     its stages at the promoted ESM config — main setup, raster, interp,
@@ -1080,6 +1130,8 @@ if __name__ == "__main__":
         part_core()
     if which in ("vis4",):
         part_vis4()
+    if which in ("attr",):
+        part_attr()
     if which in ("r3ab",):
         part_r3ab()
     if which in ("esm",):
