@@ -148,10 +148,14 @@ def make_flagship_frame(geom, objects, lights, ctx, width, height,
     if atlas_packed is None:
         # Atlas strategy (see _render_slot_stack): "map" = per-slot
         # lax.map(setup+raster); "packed" = batched setup + one tall
-        # raster; "hybrid" = batched setup + per-slot rasters (no lax.cond
-        # anywhere — the r5 esm3 attribution found the in-frame cond
-        # wrapper nearly doubles the atlas stage: 66.5 vs 34.5 ms).
-        mode = os.environ.get("LSR_BENCH_ATLAS", "hybrid")
+        # raster; "hybrid" = batched setup + per-slot rasters.  Default set
+        # by the r5 esm5 interleaved A/B at HEAD (2026-08-20 01:28, all
+        # bit-exact): whole-frame map 186.1 / hybrid 186.2 / packed 189.5
+        # ms — a tie except packed — and stage-only map 65.5 / hybrid 86.1
+        # / packed 91.2 ms, so map is the promoted strategy (the r5 esm3
+        # in-frame cond finding that motivated hybrid does not reproduce at
+        # whole-frame level after the depth-only setup landed).
+        mode = os.environ.get("LSR_BENCH_ATLAS", "map")
         atlas_packed = {"map": False, "packed": True}.get(mode, "hybrid")
 
     # Attribution knockouts (scripts/dbg_local.py esm3): pre-render the

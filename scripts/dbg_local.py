@@ -872,7 +872,7 @@ def part_r3ab():
              setup, depth, tid, ctx_sh)
 
 
-def part_vis4():
+def part_vis4(stage_only=False):
     """Round-5: A/B the vis-grid-scaled crop cascade (_scaled_crop_sizes)
     against the r4 effective cascade (full-res levels min'd onto the vis/2
     grid = one near-full-grid (540, 640) level), stage-only AND
@@ -918,6 +918,8 @@ def part_vis4():
         for rnd in range(2):
             bench_fn(f"vis stack {name} r{rnd}", jax.jit(
                 ls.local_shadow_vis_stack), sh, wp, nm)
+    if stage_only:
+        return
 
     # Whole-frame, interleaved.
     fns, outs = {}, {}
@@ -1130,6 +1132,8 @@ if __name__ == "__main__":
         part_core()
     if which in ("vis4",):
         part_vis4()
+    if which in ("vis4s",):
+        part_vis4(stage_only=True)
     if which in ("attr",):
         part_attr()
     if which in ("r3ab",):
