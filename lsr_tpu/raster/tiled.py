@@ -294,8 +294,8 @@ def _direct_kernel(
                  # for DMA slicing (fields in lanes 0..15)
     cbb_ref,     # (n_chunks, 4) f32 VMEM: chunk bboxes
     depth_in, tid_in, depth_out, tid_out,
-    sup_scratch,  # (_SUPER, 128) f32 VMEM scratch
-    dma_sem,      # DMA semaphore
+    sup_scratch,  # (2, _SUPER, 128) f32 VMEM scratch (double buffer)
+    dma_sem,      # DMA semaphore array (2,)
     *, width, tile_h, tile_w, chunk, depth_mode, tiles_x, scap,
     track_ids: bool = True,
     band_h: int = 0,
@@ -361,9 +361,9 @@ def _direct_kernel(
             (y0_cov + (sub * sub_h) + row_s.astype(jnp.float32) + 0.5)[None]
         )
 
-    def process_sub(c_local, sub, d_s, t_s):
+    def process_sub(slot, c_local, sub, d_s, t_s):
         base = pl.multiple_of(c_local * chunk, chunk)
-        blk = sup_scratch[pl.ds(base, chunk), :]
+        blk = sup_scratch[slot, pl.ds(base, chunk), :]
 
         def f(j):
             return blk[:, j].reshape(chunk, 1, 1)
@@ -418,17 +418,29 @@ def _direct_kernel(
 
     t_lin = tyi * tiles_x + txi
 
+    # Double-buffered super fetch: prefetch super i+1's 128KB setup block
+    # while super i computes, hiding the HBM DMA behind the chunk loops
+    # (same slot/sem rotation as the chunk-worklist kernel below).
+    def get_sup_dma(slot, s):
+        return pltpu.make_async_copy(
+            rec_ref.at[pl.ds(pl.multiple_of(s * _SUPER, _SUPER), _SUPER), :],
+            sup_scratch.at[slot],
+            dma_sem.at[slot],
+        )
+
+    @pl.when(n_sup > 0)
+    def _():
+        get_sup_dma(0, slist_ref[t_lin * scap]).start()
+
     def sup_body(i, carry):
         s = slist_ref[t_lin * scap + i]
-        # Fetch this super's 256 setup rows from HBM (16KB DMA) — resident
-        # setup blocks would otherwise re-DMA the whole array per program.
-        cp = pltpu.make_async_copy(
-            rec_ref.at[pl.ds(pl.multiple_of(s * _SUPER, _SUPER), _SUPER), :],
-            sup_scratch,
-            dma_sem,
-        )
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_sup)
+        def _():
+            get_sup_dma(1 - slot, slist_ref[t_lin * scap + i + 1]).start()
+
+        get_sup_dma(slot, s).wait()
 
         def chunk_body(j, carry):
             c = s * cps + j
@@ -444,7 +456,8 @@ def _direct_kernel(
                 hit = hit_x & (by0 <= yhi) & (by1 >= ylo)
                 out[2 * sub], out[2 * sub + 1] = jax.lax.cond(
                     hit,
-                    lambda d, t, j=j, sub=sub: process_sub(j, sub, d, t),
+                    lambda d, t, j=j, sub=sub: process_sub(slot, j, sub,
+                                                           d, t),
                     lambda d, t: (d, t),
                     out[2 * sub], out[2 * sub + 1],
                 )
@@ -603,8 +616,8 @@ def rasterize_direct(
         ],
         out_specs=(tile_block(), tile_block()),
         scratch_shapes=[
-            pltpu.VMEM((_SUPER, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _SUPER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     depth, tid = pl.pallas_call(

@@ -965,6 +965,9 @@ def part_attr():
         "esm-ref-budgets": dict(ref, shadow_filter="esm"),
         "esm-promoted": dict(promoted),
         "esm-promoted-r4crop": dict(promoted, vis_crop=((1080, 1280),)),
+        # r5: the queued fused-resolve lever (folds the ~13 ms interp
+        # stage into the shade kernel) on the promoted stack.
+        "esm-promoted-resolve": dict(promoted, use_resolve=True),
     }
     fns, outs = {}, {}
     for name, kw in variants.items():
