@@ -965,9 +965,13 @@ def part_attr():
         "esm-ref-budgets": dict(ref, shadow_filter="esm"),
         "esm-promoted": dict(promoted),
         "esm-promoted-r4crop": dict(promoted, vis_crop=((1080, 1280),)),
-        # r5: the queued fused-resolve lever (folds the ~13 ms interp
-        # stage into the shade kernel) on the promoted stack.
-        "esm-promoted-resolve": dict(promoted, use_resolve=True),
+        # NOT varied: use_resolve=True (the r3-queued fused-resolve lever).
+        # Measured infeasible at this config (run 20260820T0346): XLA's
+        # register allocator spills 477.5 MB of scoped VMEM compiling
+        # resolve_fused_pallas at 1080p/256 lights/64-channel gbuffer —
+        # compile aborts (486.71M used of 128M vmem).  The interp fold
+        # needs a restructured kernel (fori light loop / smaller gbuffer
+        # window), not a flag flip; finding recorded in ARCHITECTURE §8.
     }
     fns, outs = {}, {}
     for name, kw in variants.items():

@@ -7,6 +7,13 @@ set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r5
 
+# 0. ESM attribution at HEAD (VERDICT item 4): one interleaved best-of-3
+#    over pcf-ref / esm-ref / esm-promoted / esm-promoted-r4crop with
+#    parity deltas.  (The crashed 20260820T0346 run produced r0-only rows;
+#    this is the clean replacement.  resolve variant dropped: VMEM OOM.)
+timeout 2400 python scripts/dbg_local.py attr \
+    2>&1 | tee /tmp/r5/attr.log
+
 # 1. Fresh goldens for the shipping kernels (r4 verdict: the committed
 #    hashes predate chunk=8/apow1 and the static light-type
 #    specialization; re-record, don't just verify).
