@@ -427,6 +427,181 @@ def scene_setup_slots(
     })
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["n_direct", "n_clip", "overflow"],
+    meta_fields=["cap_direct", "cap_clip"],
+)
+@dataclasses.dataclass(frozen=True)
+class CompactStats:
+    """Occupancy/overflow counters of scene_setup_compact (the same
+    monitoring contract as the raster bin caps: an overflow means dropped
+    triangles and must be surfaced, bench_highpoly checks it)."""
+
+    n_direct: jnp.ndarray   # () i32 surviving unclipped triangles
+    n_clip: jnp.ndarray     # () i32 surviving near-clipping triangles
+    overflow: jnp.ndarray   # () bool: either cap exceeded
+    cap_direct: int = 0
+    cap_clip: int = 0
+
+
+def scene_setup_compact(
+    positions,
+    normals,
+    uvs,
+    indices,
+    vtx_obj,
+    tri_obj,
+    models,
+    normal_mats,
+    viewproj,
+    width: int,
+    height: int,
+    cull_mode: int = CULL_BACK,
+    front_face_ccw: bool = True,
+    obj_visible=None,
+    cap_fraction: float = 0.62,
+    clip_cap: int = 8192,
+):
+    """High-density geometry front-end: cull + COMPACT before the wide work.
+
+    scene_setup pushes 2*T rows through the 12-wide corner gather, the
+    clip case tables, and build_setup even though typically ~half the
+    triangles are backfacing/off-screen and near-clipping is rare — the
+    reference's density-switch intent (rasterizer.hpp:37-39) applied to
+    the geometry front-end instead of the raster.  Structure:
+
+    1. cheap stage: clip corners only (4-wide gather) -> the EXACT
+       validity predicate of build_setup for unclipped triangles (same
+       f32 expressions on the same rotated corner order, so decisions
+       agree bit-for-bit; no conservatism needed),
+    2. stable-order compaction of survivors to cap_direct = T *
+       cap_fraction rows (argsort over the keep mask keeps original
+       first-wins order among survivors),
+    3. the 12-wide gather + build_setup run on survivors only; the rare
+       near-plane-crossing triangles take a clip_cap-row side path
+       through the exact clip case tables.
+
+    Output rows are [direct survivors (original order), clipped pairs]:
+    identical raster coverage/depth/attributes to scene_setup — the only
+    deviation is z-tie ORDER between a clipped and an unclipped triangle
+    (the documented first-wins tie class; tests pin tie-free scenes
+    bit-exact).  Returns (TriSetup, CompactStats); an overflow means
+    dropped triangles (callers fall back to scene_setup, same contract as
+    raster bin-cap overflow monitoring)."""
+    t = indices.shape[0]
+    cap_d = min(t, -(-int(t * cap_fraction) // 128) * 128)
+    cap_c = min(t, clip_cap)
+    world, clip_v, n_ws = vertex_stage(
+        positions, normals, uvs, vtx_obj, models, normal_mats, viewproj
+    )
+    from lsr_tpu.core.gather import take_rows
+
+    tri_clip = take_rows(clip_v, indices)          # (T, 3, 4)
+    d = tri_clip[..., 2] + tri_clip[..., 3]        # (T, 3) near-plane dist
+    inside = d >= 0.0
+    n_in = inside.sum(-1)
+    all_in = n_in == 3
+    needs_clip = (n_in > 0) & ~all_in
+
+    # Exact build_setup validity for all-inside triangles, computed on the
+    # ROTATED corner order (case-111 emits [v1, v2, v0], clip.py:45) so
+    # every f32 expression sees the same operands in the same order as the
+    # full path's build_setup.
+    rot = tri_clip[:, (1, 2, 0)]
+    w_clip = rot[..., 3]
+    w_ok = jnp.all(w_clip > 1e-8, axis=-1)
+    iw = jnp.where(w_clip > 1e-8, 1.0 / jnp.maximum(w_clip, 1e-8), 0.0)
+    ndc = rot[..., :3] * iw[..., None]
+    finite = jnp.all(jnp.isfinite(ndc), axis=(1, 2))
+    sx = (ndc[..., 0] * 0.5 + 0.5) * (width - 1)
+    sy = (ndc[..., 1] * 0.5 + 0.5) * (height - 1)
+    e0x, e0y = sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]
+    e1x, e1y = sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]
+    area2 = e0x * e1y - e0y * e1x
+    nondegenerate = jnp.abs(area2) >= 1e-10
+    is_front = (area2 > 0.0) == front_face_ccw
+    if cull_mode == CULL_BACK:
+        face_ok = is_front
+    elif cull_mode == CULL_FRONT:
+        face_ok = ~is_front
+    else:
+        face_ok = jnp.ones_like(is_front)
+    on_screen = (
+        (jnp.max(sx, axis=1) >= 0.0)
+        & (jnp.min(sx, axis=1) <= width - 1)
+        & (jnp.max(sy, axis=1) >= 0.0)
+        & (jnp.min(sy, axis=1) <= height - 1)
+    )
+    keep_direct = all_in & w_ok & finite & nondegenerate & face_ok & on_screen
+    keep_clip = needs_clip
+    if obj_visible is not None:
+        vis = obj_visible[tri_obj]
+        keep_direct = keep_direct & vis
+        keep_clip = keep_clip & vis
+
+    n_direct = keep_direct.sum().astype(jnp.int32)
+    n_clip = keep_clip.sum().astype(jnp.int32)
+    order_d = jnp.argsort(~keep_direct, stable=True)[:cap_d]  # (cap_d,)
+    order_c = jnp.argsort(~keep_clip, stable=True)[:cap_c]
+    row_d_ok = jnp.arange(cap_d, dtype=jnp.int32) < n_direct
+    row_c_ok = jnp.arange(cap_c, dtype=jnp.int32) < n_clip
+
+    # Wide work on survivors only.  Direct rows reproduce assemble's packed
+    # record semantics on the rotated corners; the clip path's 'normal'
+    # renormalization (clip.py:130-132) applies to pass-through corners
+    # too, so renormalize here for bit-identity with the full path.
+    vrec = jnp.concatenate([clip_v, world, n_ws, uvs], axis=-1)  # (V, 12)
+    idx_d = take_rows(indices, order_d)[:, (1, 2, 0)]            # (D, 3)
+    crec = take_rows(vrec, idx_d)                                # (D, 3, 12)
+    nrm_d = crec[..., 7:10]
+    nlen = jnp.linalg.norm(nrm_d, axis=-1, keepdims=True)
+    attrs_d = {
+        "wp": crec[..., 4:7],
+        "normal": nrm_d / jnp.maximum(nlen, 1e-12),
+        "uv": crec[..., 10:12],
+    }
+    clip_d = crec[..., 0:4]
+    obj_d = take_rows(tri_obj, order_d)
+
+    from lsr_tpu.raster.clip import clip_triangles_near
+
+    idx_c = take_rows(indices, order_c)                          # (C, 3)
+    crec_c = take_rows(vrec, idx_c)
+    clip2, attrs2, valid2 = clip_triangles_near(
+        {
+            "wp": crec_c[..., 4:7],
+            "normal": crec_c[..., 7:10],
+            "uv": crec_c[..., 10:12],
+        },
+        crec_c[..., 0:4],
+    )
+    flat_c = lambda x: x.reshape((2 * cap_c,) + x.shape[2:])  # noqa: E731
+    obj_c = jnp.broadcast_to(
+        take_rows(tri_obj, order_c)[:, None], (cap_c, 2)).reshape(-1)
+    valid_c = valid2.reshape(-1) & jnp.repeat(row_c_ok, 2)
+
+    clip_all = jnp.concatenate([clip_d, flat_c(clip2)], axis=0)
+    attrs_all = {
+        k: jnp.concatenate([attrs_d[k], flat_c(attrs2[k])], axis=0)
+        for k in attrs_d
+    }
+    valid_all = jnp.concatenate([row_d_ok, valid_c], axis=0)
+    obj_all = jnp.concatenate([obj_d, obj_c], axis=0)
+    setup = build_setup(
+        clip_all, attrs_all, valid_all, obj_all, width, height,
+        cull_mode, front_face_ccw,
+    )
+    stats = CompactStats(
+        n_direct=n_direct,
+        n_clip=n_clip,
+        overflow=(n_direct > cap_d) | (n_clip > cap_c),
+        cap_direct=cap_d,
+        cap_clip=cap_c,
+    )
+    return setup, stats
+
+
 def scene_setup(
     positions,
     normals,
