@@ -405,12 +405,37 @@ def main():
         f"(full frame: {wk} + forward+ + tonemap + fxaa)",
         file=sys.stderr,
     )
+    extra = {}
+    if esm and os.environ.get("LSR_BENCH_PCF_CONTROL", "0") == "1":
+        # Same-window exact-PCF reference-budget control (VERDICT r4 weak
+        # #6: the fixed-workload trend must ride along with the promoted
+        # metric).  Same process, same tunnel window, fewer frames.
+        frame_p, _, _ = make_flagship_frame(
+            geom, objects, lights, ctx, width, height,
+            shadow_size=2048, local_map=1024, local_point=512,
+            with_local=with_local, with_cull=with_cull, vis_scale=1,
+            vis_crop=vis_crop, cap=cap, shadow_filter="pcf",
+            sun_vis_scale=1)
+        frame_pj = jax.jit(frame_p)
+        n_ctl = min(20, frames)
+        out = jax.block_until_ready(frame_pj(*staged[0]))
+        float(np.asarray(probe(out[0])))
+        t0 = time.perf_counter()
+        for i in range(n_ctl):
+            out = frame_pj(*staged[warmup + i])
+        float(np.asarray(probe(out[0])))
+        ctl_ms = (time.perf_counter() - t0) * 1000.0 / n_ctl
+        print(f"# pcf-ref-budgets control: {ctl_ms:.1f} ms/frame "
+              f"({1000.0 / ctl_ms:.2f} fps), same window", file=sys.stderr)
+        extra = {"pcf_ref_budgets_control_ms": round(ctl_ms, 1),
+                 "pcf_ref_budgets_control_fps": round(1000.0 / ctl_ms, 2)}
     print(json.dumps({
         "metric": (f"flagship_{width}x{height}_{lights.count}lights"
                    f"_shadow{shadow_size}_{sf}_fps"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
+        **extra,
     }))
 
 
