@@ -205,5 +205,12 @@ class FrameParams:
     raster_cap: int = 1024
     raster_chunk: int = 16
     use_tiled_raster: bool = True
+    # Density switch for the compact geometry front-end (r5: cull+compact
+    # before the wide setup work; rasterizer.hpp:37-39's strategy-switch
+    # intent).  Scenes above the threshold cull+compact to
+    # compact_cap_fraction * T rows; overflow (dropped triangles) is
+    # surfaced in raster_stats, the bin-cap monitoring contract.
+    compact_setup_threshold: int = 300_000
+    compact_cap_fraction: float = 0.62
 
     background: tuple = (0.04, 0.06, 0.1)

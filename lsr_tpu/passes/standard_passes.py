@@ -54,12 +54,24 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
     # Camera raster uses the culled view mask when a scene_cull pass ran
     # (shadow passes keep objects.visible — off-screen casters still cast).
     view_mask = state.get("view_mask", objects.visible)
-    setup = scene_setup(
-        geom.positions, geom.normals, geom.uvs, geom.indices,
-        geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
-        cam.viewproj, fp.width, fp.height,
-        cull_mode=fp.cull_mode, obj_visible=view_mask,
-    )
+    cstats = None
+    if geom.indices.shape[0] > fp.compact_setup_threshold:
+        from lsr_tpu.raster.setup import scene_setup_compact
+
+        setup, cstats = scene_setup_compact(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            cam.viewproj, fp.width, fp.height,
+            cull_mode=fp.cull_mode, obj_visible=view_mask,
+            cap_fraction=fp.compact_cap_fraction,
+        )
+    else:
+        setup = scene_setup(
+            geom.positions, geom.normals, geom.uvs, geom.indices,
+            geom.vtx_obj, geom.tri_obj, objects.model, objects.normal_mat,
+            cam.viewproj, fp.width, fp.height,
+            cull_mode=fp.cull_mode, obj_visible=view_mask,
+        )
     # The listless kernel needs the packed setup resident in VMEM; fall back
     # to the binned kernel for very large scenes.  use_tiled_raster=False
     # selects the pure-XLA brute anchor (the Phase-I parity backend).
@@ -92,6 +104,9 @@ def _raster(state, fp: FrameParams, depth_only: bool = False):
     out["raster_stats"] = {
         "tri_input": geom.indices.shape[0],
         "tri_after_clip": jnp.sum(setup.valid),
+        **({"compact_overflow": cstats.overflow,
+            "compact_n_direct": cstats.n_direct}
+           if cstats is not None else {}),
     }
     if not depth_only:
         gb = interpolate_gbuffer(setup, depth, tid,

@@ -119,3 +119,41 @@ def test_compact_overflow_flag():
     )
     _, stats = scene_setup_compact(*args, cap_fraction=0.01)
     assert bool(stats.overflow)
+
+
+def test_pipeline_compact_route_bit_exact():
+    """The production raster pass's density switch (FrameParams.
+    compact_setup_threshold) must not change the image: run the
+    forward_plus preset with the threshold forced to 0 (compact route)
+    and at default (full route) and compare LDR bit-exact."""
+    from lsr_tpu.core.frame import FrameParams, TechniqueMode
+    from lsr_tpu.passes.standard_passes import make_standard_registry
+    from lsr_tpu.pipeline.executor import RenderContext
+    from lsr_tpu.pipeline.pipeline import PluggablePipeline
+    from lsr_tpu.pipeline.recipe import builtin_render_path_presets
+    from tests.test_pipeline_integration import _MODE_FOR, _scene_state
+
+    preset = [p for p in builtin_render_path_presets()
+              if p.name == "forward_plus"][0]
+    w, h = 96, 64
+    imgs = {}
+    for thresh in (10**9, 0):
+        reg = make_standard_registry()
+        fp = FrameParams(width=w, height=h)
+        fp.technique.mode = _MODE_FOR[preset.name]
+        fp.technique.light_culling = preset.light_culling
+        fp.technique.tile_size = 16
+        fp.technique.cluster_slices = 8
+        fp.technique.max_lights_per_tile = 32
+        fp.pass_params.shadow.map_size = 128
+        fp.raster_tile_h = 16
+        fp.compact_setup_threshold = thresh
+        pipe = PluggablePipeline(preexisting_semantics=())
+        assert pipe.configure_from_recipe(preset, reg).ok
+        assert pipe.build_plan(fp).ok
+        state = pipe.execute(RenderContext(), _scene_state(w, h), fp)
+        imgs[thresh] = np.asarray(state["ldr"])
+        if thresh == 0:
+            assert not bool(np.asarray(
+                state["raster_stats"]["compact_overflow"]))
+    assert np.array_equal(imgs[0], imgs[10**9])
